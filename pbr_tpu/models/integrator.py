@@ -1,0 +1,373 @@
+"""The wavefront path-tracing integrator.
+
+This is the TPU-native re-design of the reference's per-pixel megakernel
+(``pathtracing.cl:207-334``): instead of one divergent work-item per pixel,
+the whole ray batch advances together through fixed-shape stages —
+*generate* (camera rays + AA jitter + thin-lens DoF), *intersect* (brute or
+stackless-BVH), *shade* (NEE, BRDF sample, throughput update, Russian
+roulette) — with per-ray liveness as masks. Every dynamic control decision
+of the reference (miss/break/extend/RR) becomes a ``where``; the bounce loop
+is a statically-bounded Python loop (MAX_DEPTH + MAX_ADDED_DEPTH, the same
+bound the reference's dynamic loop respects, pathtracing.cl:258,308), so XLA
+unrolls and fuses the whole integrator into a handful of device kernels.
+
+The function is backend-generic: pass ``xp = numpy`` and it is the CPU
+oracle tracer (bit-identical math and RNG); pass ``xp = jax.numpy`` inside
+``jit`` and it is the TPU renderer. Gradients w.r.t. materials, lights, and
+camera flow through shading with detached sampling (sample directions are
+RNG-hash constants; the importance-sampling pdf stays in the weight).
+
+Estimator semantics faithfully match the reference, including its quirks:
+``secondaryPaths`` starts at 1 and is shared across samples of a frame
+(pathtracing.cl:249,326); orb lights are only visible on geometry-miss
+(pt_bvh.cl:54-74); the last-bounce opportunistic break skips NEE
+(pathtracing.cl:274-276); NEE always samples ``lights[0]``
+(pathtracing.cl:188-199).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from pbr_tpu.ops import rng as rng_mod
+from pbr_tpu.ops.brdf import (
+    PI_X2,
+    fresnel,
+    refract_dir,
+    sa_eval,
+    sa_sample,
+    schlick_eval,
+    schlick_sample,
+)
+from pbr_tpu.ops.intersect import INF, gather_vec3, geometric_normal, sphere
+from pbr_tpu.ops.rng import (
+    S_AA_PHI,
+    S_AA_R,
+    S_BRDF_A,
+    S_BRDF_B,
+    S_BRDF_C,
+    S_DOF_PHI,
+    S_DOF_R,
+    S_EXTEND,
+    S_REFR,
+    S_RR,
+    S_TRANS,
+)
+from pbr_tpu.ops.traverse import intersect_scene
+from pbr_tpu.ops.vec import Vec3, jitter, where3
+from pbr_tpu.scene.camera import pixel_dim
+from pbr_tpu.scene.types import CameraState, Scene
+from pbr_tpu.utils.config import BRDF_SCHLICK, RenderSettings
+
+F32 = np.float32
+
+
+class TraceResult(NamedTuple):
+    color: Vec3  # (B,) accumulated frame color (pre-progressive-mix)
+    focus_t: object  # (B,) first-hit distance (DoF focus channel, pt_rgb.cl:18)
+
+
+def _where(xp, m, a, b):
+    return xp.where(m, a, b)
+
+
+def _sanitize3(xp, v: Vec3) -> Vec3:
+    """Replace non-finite components with 0.
+
+    Deliberate deviation from the reference: when a sampled direction makes
+    the pdf collapse to 0 (e.g. the S-A half-vector dips below the horizon,
+    pow(h·n, e) → 0, pt_brdf.cl:252-267), the reference divides 0/0 and
+    writes NaN pixels (the thesis CHANGELOG notes such artifacts). We define
+    the weight of an impossible sample as 0 — identically in the NumPy
+    oracle and the TPU path, so the allclose gate is unaffected.
+    """
+    f = lambda c: xp.where(xp.isfinite(c), c, np.float32(0.0))  # noqa: E731
+    return Vec3(f(v.x), f(v.y), f(v.z))
+
+
+def _broadcast_cam(cam: CameraState, like):
+    """Broadcast scalar camera Vec3s to the ray batch shape."""
+    ones = like * 0.0 + 1.0
+    b = lambda v: Vec3(v.x * ones, v.y * ones, v.z * ones)  # noqa: E731
+    return b(cam.eye), b(cam.w), b(cam.u), b(cam.v)
+
+
+def _gen_rays(xp, cam: CameraState, settings: RenderSettings, px, py, rng, s, prev_t):
+    """Primary ray generation: pinhole + AA jitter + thin-lens DoF
+    (initRay, pathtracing.cl:25-48; antiAliasing, pt_utils.cl:327-337;
+    depthOfField, pt_utils.cl:349-373)."""
+    w, h = settings.width, settings.height
+    pxdim = F32(pixel_dim(w, h, settings.fov))
+    eye, cw, cu, cv = _broadcast_cam(cam, px)
+
+    fx = 1.0 - F32(w) + 2.0 * px
+    fy = 1.0 - F32(h) + 2.0 * py
+    d = (cw + (cu * fx + cv * fy) * (pxdim * F32(0.5))).normalized()
+
+    # Anti-aliasing: jitter within the pixel footprint.
+    rnd = rng.u(s, 0, S_AA_R)
+    phi = PI_X2 * rng.u(s, 0, S_AA_PHI)
+    aa = jitter(d, phi, xp.sqrt(rnd), xp.sqrt(1.0 - rnd))
+    d = (d + aa * (pxdim * F32(settings.anti_aliasing))).normalized()
+
+    o = eye
+
+    # Thin-lens depth of field, gated on a non-negative focus distance.
+    t_obj = _where(xp, xp.isfinite(prev_t), prev_t, F32(1000.0))
+    t_foc = _where(xp, xp.isfinite(cam.focus), cam.focus, F32(1000.0))
+    lens = cam.focal_length / cam.aperture  # reference cam.lense.x / .y
+    radius = rng.u(s, 0, S_DOF_R) * lens * F32(0.5)
+    angle = PI_X2 * rng.u(s, 0, S_DOF_PHI)
+    o_dof = o + cu * (radius * xp.cos(angle)) + cv * (radius * xp.sin(angle))
+    hit_focal = eye + d * t_foc
+    d_dof = (hit_focal - o_dof).normalized()
+    use_dof = (cam.focus >= 0.0) & (t_obj > 0.0)
+    o = where3(use_dof, o_dof, o)
+    d = where3(use_dof, d_dof, d)
+    return o, d
+
+
+def _orb_pass(xp, o, d, lights, t_geom):
+    """Orb-light visibility on geometry miss (traverseLights,
+    pt_bvh.cl:54-74): the *last* orb hit in light order wins; any geometry
+    hit overrides."""
+    nl = lights.count
+    orb_idx = xp.full(o.x.shape, -1, dtype=xp.int32)
+    for i in range(nl):
+        center = Vec3(lights.pos.x[i], lights.pos.y[i], lights.pos.z[i])
+        t_near, hit = sphere(xp, o, d, center, lights.radius[i])
+        is_orb = lights.type[i] == 2
+        orb_idx = _where(xp, is_orb & hit, xp.int32(i), orb_idx)
+    miss_geom = ~xp.isfinite(t_geom)
+    return _where(xp, miss_geom, orb_idx, xp.int32(-1))
+
+
+def _shadow_occluded(xp, scene, hit_p, l_dir, t_light, max_leaf):
+    """Any-hit shadow test (traverseShadows, pt_bvh.cl:133-177): occluded
+    iff some *geometry* hit lies closer than the light (orbs never occlude —
+    the reference resets t to INF on orb hits, pt_bvh.cl:68)."""
+    t_sh, _ = intersect_scene(xp, hit_p, l_dir, scene, max_leaf=max_leaf)
+    return t_sh < t_light
+
+
+def trace_rays(
+    xp,
+    scene: Scene,
+    cam: CameraState,
+    settings: RenderSettings,
+    pixel_ids,
+    frame_seed,
+    prev_t=None,
+    max_leaf: int = 2,
+) -> TraceResult:
+    """Trace ``settings.samples`` full paths for each pixel id.
+
+    ``pixel_ids``: (B,) int32 global pixel indices (y * width + x) — the
+    batch may be any shard of the image, which is what makes the ray-batch
+    dimension shardable across chips. ``prev_t``: previous frame's per-pixel
+    first-hit distance (for DoF), or None.
+    """
+    ids = pixel_ids
+    px = (ids % settings.width).astype(xp.float32)
+    py = (ids // settings.width).astype(xp.float32)
+    rng = rng_mod.PixelRng(frame_seed, ids.astype(xp.uint32))
+
+    if prev_t is None:
+        prev_t = xp.full(px.shape, INF, dtype=xp.float32)
+
+    zero3 = Vec3.full(xp, px.shape, (0.0, 0.0, 0.0))
+    final_color = zero3
+    secondary = xp.ones(px.shape, dtype=xp.int32)  # starts at 1 (pathtracing.cl:249)
+    focus_t = xp.full(px.shape, INF, dtype=xp.float32)
+
+    mats = scene.materials
+    lights = scene.lights
+    num_lights = scene.num_lights
+    nee_enabled = bool(settings.shadow_rays) and num_lights > 0
+    sky = Vec3(F32(settings.sky_light[0]), F32(settings.sky_light[1]), F32(settings.sky_light[2]))
+
+    for s in range(settings.samples):
+        o, d = _gen_rays(xp, cam, settings, px, py, rng, s, prev_t)
+        color = Vec3.full(xp, px.shape, (1.0, 1.0, 1.0))
+        light_found = xp.zeros(px.shape, dtype=bool)
+        light_val = zero3
+        alive = xp.ones(px.shape, dtype=bool)
+        depth_added = xp.zeros(px.shape, dtype=xp.int32)
+
+        for depth in range(settings.max_total_depth):
+            # ---- intersect -------------------------------------------------
+            t, face = intersect_scene(xp, o, d, scene, max_leaf=max_leaf)
+            orb_idx = _orb_pass(xp, o, d, lights, t) if num_lights else xp.full(
+                px.shape, -1, dtype=xp.int32
+            )
+
+            if s == 0 and depth == 0:
+                focus_t = t
+
+            hit = xp.isfinite(t) & alive
+            # ---- miss: sky or orb emission (pathtracing.cl:263-266) -------
+            miss = alive & ~xp.isfinite(t)
+            is_orb = miss & (orb_idx >= 0)
+            orb_safe = xp.maximum(orb_idx, 0)
+            orb_rgb = gather_vec3(lights.rgb, orb_safe) if num_lights else zero3
+            sky_b = Vec3(sky.x + 0.0 * px, sky.y + 0.0 * px, sky.z + 0.0 * px)
+            new_light = where3(is_orb, orb_rgb, sky_b)
+            light_val = where3(miss, new_light, light_val)
+            light_found = light_found | miss
+            alive = alive & ~miss
+
+            # ---- material & geometric normal ------------------------------
+            face_safe = xp.maximum(face, 0)
+            midx = scene.tris.mtl[face_safe]
+            m_d = mats.d[midx]
+            m_ni = mats.Ni[midx]
+            m_rough = mats.rough[midx]
+            m_p = mats.p[midx]
+            m_nu = mats.nu[midx]
+            m_nv = mats.nv[midx]
+            m_rs = mats.Rs[midx]
+            m_rd = mats.Rd[midx]
+            m_kd = gather_vec3(mats.kd, midx)
+            m_ks = gather_vec3(mats.ks, midx)
+            e1 = gather_vec3(scene.tris.e1, face_safe)
+            e2 = gather_vec3(scene.tris.e2, face_safe)
+            normal = geometric_normal(e1, e2)
+
+            # ---- path extension decision (extendDepth, pt_utils.cl:89-96) -
+            if settings.brdf == BRDF_SCHLICK:
+                extend = m_rough < rng.u(s, depth, S_EXTEND)
+            else:
+                extend = xp.maximum(m_nu, m_nv) >= 50.0
+
+            # ---- opportunistic last-bounce break (pathtracing.cl:274-276) -
+            is_last = depth == (settings.max_depth + depth_added - 1)
+            brk = hit & (m_d == 1.0) & ~extend & is_last
+            alive = alive & ~brk
+            live = hit & alive  # rays shaded this bounce
+
+            # ---- hit point (guarded for dead lanes) ------------------------
+            t_safe = _where(xp, hit, t, F32(1.0))
+            hit_p = o + d * t_safe
+
+            # ---- NEE shadow ray (shadowRayTest, pathtracing.cl:188-199) ---
+            if nee_enabled:
+                l_pos = Vec3(
+                    lights.pos.x[0] + 0.0 * px,
+                    lights.pos.y[0] + 0.0 * px,
+                    lights.pos.z[0] + 0.0 * px,
+                )
+                l_vec = l_pos - hit_p
+                t_light = l_vec.length()
+                l_dir = l_vec / xp.maximum(t_light, F32(1e-20))
+                occluded = _shadow_occluded(xp, scene, hit_p, l_dir, t_light, max_leaf)
+                nee_ok = live & (m_d > 0.0) & ~occluded
+            else:
+                l_dir = zero3
+                nee_ok = xp.zeros(px.shape, dtype=bool)
+
+            # ---- new direction (getNewRay, pt_brdf.cl:344-378) ------------
+            r_trans = rng.u(s, depth, S_TRANS)
+            do_trans = (m_d < 1.0) & (m_d <= r_trans)
+            add_depth = extend | do_trans
+            refr = refract_dir(xp, d, normal, m_ni, rng.u(s, depth, S_REFR))
+            ra = rng.u(s, depth, S_BRDF_A)
+            rb = rng.u(s, depth, S_BRDF_B)
+            rc = rng.u(s, depth, S_BRDF_C)
+            if settings.brdf == BRDF_SCHLICK:
+                brdf_dir = schlick_sample(xp, d, normal, m_rough, m_p, ra, rb, rc)
+            else:
+                brdf_dir = sa_sample(xp, d, normal, m_d, m_nu, m_nv, ra, rb, rc)
+            new_d = where3(do_trans, refr, brdf_dir)
+
+            # ---- flip normal toward the viewer (pathtracing.cl:296-300) ---
+            n_sh = where3(normal.dot(-d) <= 0.0, -normal, normal)
+
+            # ---- throughput & NEE contribution (updateColor,
+            #      pathtracing.cl:92-178) ----------------------------------
+            if settings.brdf == BRDF_SCHLICK:
+                if nee_enabled:
+                    brdf_l, u_l, pdf_l = schlick_eval(xp, n_sh, d, l_dir, m_rough, m_p)
+                    ok = nee_ok & (xp.abs(pdf_l) > F32(1e-5))
+                    pdf_ls = _where(xp, ok, pdf_l, F32(1.0))
+                    w_l = brdf_l * xp.maximum(n_sh.dot(l_dir), 0.0) / pdf_ls
+                    l_rgb = gather_vec3(lights.rgb, xp.zeros_like(secondary))
+                    contrib = (
+                        color
+                        * l_rgb
+                        * m_kd
+                        * (fresnel(u_l, m_ks) * w_l * m_d + (1.0 - m_d))
+                    )
+                    final_color = final_color + _sanitize3(xp, where3(ok, contrib, zero3))
+                    secondary = secondary + ok.astype(xp.int32)
+
+                brdf_b, u_b, pdf_b = schlick_eval(xp, n_sh, d, new_d, m_rough, m_p)
+                pdf_bs = _where(xp, live & (xp.abs(pdf_b) > F32(1e-7)), pdf_b, F32(1.0))
+                w_b = brdf_b * xp.maximum(n_sh.dot(new_d), 0.0) / pdf_bs
+                mult = _sanitize3(
+                    xp, m_kd * (fresnel(u_b, m_ks) * w_b * m_d + (1.0 - m_d))
+                )
+                color = where3(live, color * mult, color)
+            else:
+                if nee_enabled:
+                    spec_l, diff_l, hk1_l, pdf_l = sa_eval(xp, n_sh, d, l_dir, m_nu, m_nv)
+                    ok = nee_ok & (xp.abs(pdf_l) > F32(1e-5))
+                    pdf_ls = _where(xp, ok, pdf_l, F32(1.0))
+                    b_s = (spec_l / pdf_ls) * fresnel(hk1_l, m_rs)
+                    b_d = (diff_l * m_rd / pdf_ls) * (1.0 - m_rs)
+                    bc = m_ks * b_s + m_kd * b_d
+                    bc = bc * m_d + (1.0 - m_d)
+                    max_rgb = xp.maximum(F32(1.0), bc.max_component())
+                    bc = bc / max_rgb
+                    bc = Vec3(
+                        xp.clip(bc.x, 0.0, 1.0),
+                        xp.clip(bc.y, 0.0, 1.0),
+                        xp.clip(bc.z, 0.0, 1.0),
+                    )
+                    l_rgb = gather_vec3(lights.rgb, xp.zeros_like(secondary))
+                    contrib = bc * l_rgb * m_d + (1.0 - m_d)
+                    final_color = final_color + _sanitize3(xp, where3(ok, contrib, zero3))
+                    secondary = secondary + ok.astype(xp.int32)
+
+                spec_b, diff_b, hk1_b, pdf_b = sa_eval(xp, n_sh, d, new_d, m_nu, m_nv)
+                pdf_bs = _where(xp, live & (xp.abs(pdf_b) > F32(1e-7)), pdf_b, F32(1.0))
+                b_s = (spec_b / pdf_bs) * fresnel(hk1_b, m_rs)
+                b_d = (diff_b * m_rd / pdf_bs) * (1.0 - m_rs)
+                bc = m_ks * b_s + m_kd * b_d
+                bc = bc * m_d + (1.0 - m_d)
+                max_rgb = xp.maximum(F32(1.0), bc.max_component())
+                bc = bc / max_rgb
+                bc = _sanitize3(
+                    xp,
+                    Vec3(
+                        xp.clip(bc.x, 0.0, 1.0),
+                        xp.clip(bc.y, 0.0, 1.0),
+                        xp.clip(bc.z, 0.0, 1.0),
+                    ),
+                )
+                color = where3(live, color * bc, color)
+
+            # ---- extend depth budget (pathtracing.cl:308) -----------------
+            depth_added = depth_added + (
+                (add_depth & (depth_added < settings.max_added_depth)) & live
+            ).astype(xp.int32)
+
+            # ---- dynamic loop bound (pathtracing.cl:258) ------------------
+            alive = alive & ((depth + 1) < settings.max_depth + depth_added)
+
+            # ---- Russian roulette (pt_utils.cl:385-387) -------------------
+            max_col = color.max_component()
+            rr = (depth > 2 + depth_added) & (max_col < rng.u(s, depth, S_RR))
+            alive = alive & ~rr
+
+            # ---- advance ---------------------------------------------------
+            o = where3(live, hit_p, o)
+            d = where3(live, new_d, d)
+
+        final_color = final_color + where3(light_found, color * light_val, zero3)
+
+    final_color = final_color / secondary.astype(xp.float32)
+    if settings.samples > 1:
+        final_color = final_color / F32(settings.samples)
+    return TraceResult(color=final_color, focus_t=focus_t)

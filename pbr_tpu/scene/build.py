@@ -1,0 +1,88 @@
+"""Scene assembly: parsed model data → renderer-ready SoA pytrees.
+
+The analog of the reference's device-buffer initialization
+(``PathTracer::initOpenCLBuffers``, PathTracer.cpp:136-230): triangles are
+reordered into BVH-leaf order (PathTracer.cpp:312-330), materials and lights
+packed into SoA (PathTracer.cpp:387-428,448-518), and the scene-dependent
+constants (sky color from the ``sky_light`` material, light count) surfaced
+so the caller can fix them into ``RenderSettings`` — the jit-static
+equivalent of the reference's ``#SKY_LIGHT#`` / ``#NUM_LIGHTS#``
+substitutions (PathTracer.cpp:209-210,468-474,514-516).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from pbr_tpu.accel.bvh import build_bvh
+from pbr_tpu.io.lights import lights_to_soa
+from pbr_tpu.io.obj import ObjData
+from pbr_tpu.scene.types import Scene, make_triangles, no_lights, permute_triangles
+from pbr_tpu.utils.config import ACCEL_BVH, BVHConfig, RenderSettings
+
+
+def build_scene(
+    obj: ObjData,
+    bvh_cfg: Optional[BVHConfig] = None,
+    use_bvh: bool = True,
+) -> Scene:
+    """Assemble a Scene from parsed OBJ data (host-side, NumPy)."""
+    tris = make_triangles(
+        obj.vertices,
+        obj.faces_v,
+        obj.normals if obj.normals.size else None,
+        obj.faces_vn if obj.faces_vn.size else None,
+        obj.faces_mtl,
+    )
+    bvh = None
+    if use_bvh:
+        v0 = tris.v0.stack(np)
+        v1 = (tris.v0 + tris.e1).stack(np)
+        v2 = (tris.v0 + tris.e2).stack(np)
+        bvh, leaf_order, _ = build_bvh(v0, v1, v2, bvh_cfg or BVHConfig())
+        tris = permute_triangles(tris, leaf_order)
+    materials = obj.mtl.to_soa()
+    lights = lights_to_soa(obj.lights) if obj.lights else no_lights()
+    return Scene(tris=tris, bvh=bvh, materials=materials, lights=lights)
+
+
+def apply_scene_constants(settings: RenderSettings, obj: ObjData) -> RenderSettings:
+    """Fix scene-derived static settings: sky color from the ``sky_light``
+    material (white fallback, PathTracer.cpp:514-516) and shadow-ray
+    disabling when the scene has no lights (LightParser.cpp:116-121)."""
+    sky = obj.mtl.sky_light()
+    kw = {}
+    if sky is not None:
+        kw["sky_light"] = tuple(float(c) for c in sky)
+    if not obj.lights and settings.shadow_rays:
+        kw["shadow_rays"] = 0
+    return settings.replace(**kw) if kw else settings
+
+
+def scene_from_text(
+    obj_text: str,
+    mtl_text: str = "",
+    lights_text: str = "",
+    bvh_cfg: Optional[BVHConfig] = None,
+    use_bvh: bool = True,
+) -> Tuple[Scene, ObjData]:
+    """Build a scene directly from OBJ/MTL/.lights text (procedural scenes
+    and tests)."""
+    from pbr_tpu.io.lights import parse_lights
+    from pbr_tpu.io.mtl import parse_mtl
+    from pbr_tpu.io.obj import parse_obj
+
+    mtl = parse_mtl(mtl_text) if mtl_text else None
+    lights = parse_lights(lights_text) if lights_text else []
+    obj = parse_obj(obj_text, mtl=mtl, lights=lights)
+    return build_scene(obj, bvh_cfg=bvh_cfg, use_bvh=use_bvh), obj
+
+
+def to_device(scene: Scene):
+    """Move a host (NumPy) scene onto the default JAX device(s) as one
+    pytree. Sharding-aware placement lives in ``pbr_tpu.parallel``."""
+    import jax
+
+    return jax.tree_util.tree_map(jax.numpy.asarray, scene)

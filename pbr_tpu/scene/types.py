@@ -1,0 +1,250 @@
+"""Scene representation: SoA pytrees consumed by the renderer.
+
+The reference serialized the scene into OpenCL buffers (PathTracer.cpp:
+136-230: faces/BVH/material/light buffers, 2×float4-packed BVH nodes with
+``.w``-punned indices, PathTracer.cpp:238-347). The TPU design replaces the
+float-punned AoS packing with typed SoA arrays inside NamedTuple pytrees:
+
+- every field is a flat array (or a component-wise ``Vec3``) so the renderer
+  is pure VPU-width math and XLA-fusable;
+- the whole ``Scene`` passes through ``jit``/``grad``/``shard_map``
+  untouched; materials / lights / camera are float leaves, hence
+  *differentiable* — grads w.r.t. them flow out of the render;
+- shapes are static per scene, so ``jit`` specializes per scene exactly like
+  the reference's per-scene kernel rebuild (CL.cpp:626-705) — but via trace
+  caching instead of text substitution.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from pbr_tpu.ops.vec import Vec3
+
+
+class MaterialsSoA(NamedTuple):
+    """Per-material arrays, shape (M,).
+
+    Field semantics follow the reference's ``material_t`` (MtlParser.h:43-62)
+    and the per-BRDF device packing (PathTracer.cpp:448-518): Schlick uses
+    (d, Ni, p, rough); Shirley-Ashikhmin uses (d, Ni, nu, nv, Rs, Rd); both
+    use kd=Kd (rgbDiff) and ks=Ks (rgbSpec). Defaults mirror
+    MtlParser::getEmptyMaterial (MtlParser.cpp:11-35).
+    """
+
+    d: object  # dissolve/opacity; <1 enables transparency+refraction
+    Ni: object  # index of refraction
+    rough: object  # Schlick roughness (0 specular .. 1 diffuse)
+    p: object  # Schlick isotropy (0 aniso .. 1 iso)
+    nu: object  # Shirley-Ashikhmin specular lobe u
+    nv: object  # Shirley-Ashikhmin specular lobe v
+    Rs: object  # Shirley-Ashikhmin specular reflectance at normal incidence
+    Rd: object  # Shirley-Ashikhmin diffuse reflectance
+    kd: Vec3  # diffuse RGB
+    ks: Vec3  # specular RGB
+    light: object  # int flag: custom 'light' MTL extension
+
+    @property
+    def count(self) -> int:
+        return int(self.d.shape[0])
+
+
+class LightsSoA(NamedTuple):
+    """Light sources, shape (L,) (reference light_t, LightParser.h:17-26).
+
+    ``type``: 1 = point light, 2 = orb (sphere with radius, visible and
+    emissive on miss-path hits, pt_bvh.cl:54-74).
+    """
+
+    pos: Vec3
+    rgb: Vec3
+    radius: object
+    type: object  # int
+
+    @property
+    def count(self) -> int:
+        return int(self.radius.shape[0])
+
+
+class TrianglesSoA(NamedTuple):
+    """Triangles in BVH-leaf order, shape (F,).
+
+    Stores v0 plus edges e1 = b - a, e2 = c - a (the Möller-Trumbore inputs,
+    reference pt_intersect.cl:92-129) and the three vertex normals (used for
+    smooth shading / Phong tessellation, pt_utils.cl:231). ``mtl`` is the
+    per-face material index (reference facesV[..].w, PathTracer.cpp:317-321).
+    """
+
+    v0: Vec3
+    e1: Vec3
+    e2: Vec3
+    n0: Vec3
+    n1: Vec3
+    n2: Vec3
+    mtl: object  # int32 (F,)
+
+    @property
+    def count(self) -> int:
+        return int(self.mtl.shape[0])
+
+
+class LinearBVH(NamedTuple):
+    """Stackless linear BVH, shape (N,) per field.
+
+    Same traversal contract as the reference's 2×float4 node buffer
+    (pt_bvh.cl:93-102, PathTracer.cpp:238-347), with typed fields instead of
+    float-punned ``.w`` slots:
+
+    - nodes are in depth-first left-first (preorder) memory order;
+    - on a *hit* of node i the next node is ``i + 1``;
+    - on a *miss* the next node is ``exit[i]`` (the preorder index of the
+      next subtree to the right — the reference's "escape" index);
+    - a leaf (``leaf_first[i] >= 0``) tests faces
+      ``leaf_first[i] .. leaf_first[i]+leaf_count[i]`` (triangles are stored
+      in leaf order) and continues at ``i + 1`` — which in preorder equals
+      ``exit[i]`` for leaves.
+
+    Traversal terminates when the index reaches N.
+    """
+
+    bb_min: Vec3
+    bb_max: Vec3
+    leaf_first: object  # int32, -1 for inner nodes
+    leaf_count: object  # int32, 0 for inner nodes
+    exit: object  # int32, escape index (N = done)
+
+    @property
+    def count(self) -> int:
+        return int(self.exit.shape[0])
+
+
+class CameraState(NamedTuple):
+    """Camera basis passed to the renderer (reference camera struct,
+    pt_header.cl:41-48, filled by PathTracer::updateEyeBuffer,
+    PathTracer.cpp:628-652).
+
+    All-float leaves → differentiable w.r.t. the camera. ``focus`` holds the
+    (tObject-independent) focus distance for thin-lens DoF; < 0 disables DoF
+    (the reference signalled this with focusPoint = (-1,-1)).
+    """
+
+    eye: Vec3  # scalars (shape ())
+    w: Vec3  # forward (normalize(center - eye))
+    u: Vec3  # right   (normalize(cross(w, up)))
+    v: Vec3  # up      (normalize(cross(u, w)))
+    focal_length: object
+    aperture: object  # f-number; lens radius factor = focal_length / aperture
+    focus: object  # focus distance; < 0 → DoF off
+
+
+class Scene(NamedTuple):
+    """Everything the render kernel needs, as one pytree."""
+
+    tris: TrianglesSoA
+    bvh: Optional[LinearBVH]
+    materials: MaterialsSoA
+    lights: LightsSoA
+
+    @property
+    def num_faces(self) -> int:
+        return self.tris.count
+
+    @property
+    def num_lights(self) -> int:
+        return self.lights.count
+
+
+def default_materials(m: int = 1) -> MaterialsSoA:
+    """All-default materials (MtlParser.cpp:11-35 semantics)."""
+    f = lambda v: np.full((m,), v, dtype=np.float32)  # noqa: E731
+    return MaterialsSoA(
+        d=f(1.0),
+        Ni=f(1.0),
+        rough=f(1.0),
+        p=f(1.0),
+        nu=f(0.0),
+        nv=f(0.0),
+        Rs=f(0.0),
+        Rd=f(1.0),
+        kd=Vec3(f(1.0), f(1.0), f(1.0)),
+        ks=Vec3(f(1.0), f(1.0), f(1.0)),
+        light=np.zeros((m,), dtype=np.int32),
+    )
+
+
+def no_lights() -> LightsSoA:
+    """Zero lights. The reference pushed one dummy light buffer entry when a
+    scene had none (PathTracer.cpp:412-418); with static shapes we keep L=0
+    and gate the NEE/orb code paths on ``num_lights`` at trace time instead.
+    """
+    z = np.zeros((0,), dtype=np.float32)
+    return LightsSoA(
+        pos=Vec3(z, z, z),
+        rgb=Vec3(z, z, z),
+        radius=z,
+        type=np.zeros((0,), dtype=np.int32),
+    )
+
+
+def make_triangles(
+    vertices: np.ndarray,
+    faces_v: np.ndarray,
+    normals: Optional[np.ndarray],
+    faces_n: Optional[np.ndarray],
+    faces_mtl: Optional[np.ndarray],
+) -> TrianglesSoA:
+    """Assemble TrianglesSoA from indexed geometry.
+
+    ``vertices`` (V,3) float; ``faces_v`` (F,3) int; ``normals`` (Nn,3) or
+    None; ``faces_n`` (F,3) int or None (falls back to geometric normals);
+    ``faces_mtl`` (F,) int or None (falls back to material 0, as the
+    reference's ``usemtl``-less faces got index -1 → clamped here to 0).
+    """
+    vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+    faces_v = np.asarray(faces_v, dtype=np.int64).reshape(-1, 3)
+    a = vertices[faces_v[:, 0]]
+    b = vertices[faces_v[:, 1]]
+    c = vertices[faces_v[:, 2]]
+    e1 = b - a
+    e2 = c - a
+    if normals is not None and faces_n is not None and len(np.asarray(faces_n)):
+        normals = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
+        faces_n = np.asarray(faces_n, dtype=np.int64).reshape(-1, 3)
+        n0 = normals[faces_n[:, 0]]
+        n1 = normals[faces_n[:, 1]]
+        n2 = normals[faces_n[:, 2]]
+    else:
+        gn = np.cross(e1, e2)
+        gn = gn / np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+        n0 = n1 = n2 = gn.astype(np.float32)
+    if faces_mtl is None:
+        mtl = np.zeros((faces_v.shape[0],), dtype=np.int32)
+    else:
+        mtl = np.maximum(np.asarray(faces_mtl, dtype=np.int32), 0)
+    return TrianglesSoA(
+        v0=Vec3.from_array(a.astype(np.float32)),
+        e1=Vec3.from_array(e1.astype(np.float32)),
+        e2=Vec3.from_array(e2.astype(np.float32)),
+        n0=Vec3.from_array(np.asarray(n0, dtype=np.float32)),
+        n1=Vec3.from_array(np.asarray(n1, dtype=np.float32)),
+        n2=Vec3.from_array(np.asarray(n2, dtype=np.float32)),
+        mtl=mtl,
+    )
+
+
+def permute_triangles(tris: TrianglesSoA, order: np.ndarray) -> TrianglesSoA:
+    """Reorder triangles (used to put them into BVH leaf order, the analog of
+    the reference's leaf-order face reindexing, PathTracer.cpp:312-330)."""
+    take = lambda arr: np.asarray(arr)[order]  # noqa: E731
+    tv = lambda v: Vec3(take(v.x), take(v.y), take(v.z))  # noqa: E731
+    return TrianglesSoA(
+        v0=tv(tris.v0),
+        e1=tv(tris.e1),
+        e2=tv(tris.e2),
+        n0=tv(tris.n0),
+        n1=tv(tris.n1),
+        n2=tv(tris.n2),
+        mtl=take(tris.mtl),
+    )
