@@ -1,0 +1,175 @@
+"""Benchmark: rays/s/chip, forward+backward, 1spp 1024x1024 Cornell box.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+Metric definition (BASELINE.json): a full differentiable frame — render the
+Cornell scene at 1024x1024, 1 sample/pixel, reference-default depth limits
+(max_depth 3 + up to 5 extensions, config.json:99-101), NEE shadow rays on —
+plus the backward pass producing gradients w.r.t. materials, lights, and
+camera. rays/s counts *actual traced rays* (live path segments + shadow
+rays, measured by the integrator's work counters, not an optimistic
+width*height*depth product). vs_baseline is against the 200M rays/s/chip
+target (the reference publishes no numbers — BASELINE.md).
+
+Run on the real TPU chip (default backend). Use --quick for a smaller
+sanity config, --fwd-only to benchmark rendering without gradients.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--quick", action="store_true", help="256x256 sanity run")
+    ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--frames-per-step", type=int, default=8, dest="frames_per_step")
+    ap.add_argument("--bvh", action="store_true", help="force BVH intersector")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.camera import make_camera_state
+    from pbr_tpu.scene.procedural import cornell_box
+    from pbr_tpu.utils.config import RenderSettings
+
+    size = 256 if args.quick else args.size
+    obj, mtl, li = cornell_box()
+    # TPU-first intersector choice: brute-force beats BVH traversal for a
+    # 34-triangle scene (no gathers, no divergence); the BVH path serves
+    # large scenes. --bvh overrides.
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=args.bvh)
+    cam = make_camera_state(eye=(0.0, 1.0, 3.2), center_dir=(0.0, 0.0, 1.0))
+    settings = RenderSettings(
+        width=size,
+        height=size,
+        samples=1,
+        max_depth=3,
+        max_added_depth=5,
+        shadow_rays=1,
+        anti_aliasing=0.7,
+        sky_light=(0.85, 0.9, 1.0),
+    )
+
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    npx = size * size
+    ids = jnp.arange(npx, dtype=jnp.int32)
+
+    # ---- measure actual ray counts (one instrumented trace) --------------
+    @functools.partial(jax.jit, static_argnames=("settings",))
+    def count_fn(scene, cam, ids, seed, settings):
+        res = trace_rays(jnp, scene, cam, settings, ids, seed, with_stats=True)
+        return res.n_path_rays, res.n_shadow_rays
+
+    n_path, n_shadow = count_fn(jscene, jcam, ids, jnp.uint32(0), settings)
+    rays_per_frame = int(n_path) + int(n_shadow)
+    print(
+        f"[bench] {size}x{size}: {int(n_path)} path segments + "
+        f"{int(n_shadow)} shadow rays = {rays_per_frame} rays/frame",
+        file=sys.stderr,
+    )
+
+    # ---- the timed step ---------------------------------------------------
+    # K frames per jit call via lax.scan: host->device dispatch over the
+    # tunnel costs milliseconds per call, which would otherwise swamp the
+    # sub-millisecond device time. Sustained throughput is what ships.
+    K = args.frames_per_step
+    from pbr_tpu.ops import rng as rng_mod
+    from pbr_tpu.scene.types import Scene
+
+    if args.fwd_only:
+
+        @functools.partial(jax.jit, static_argnames=("settings",))
+        def step(scene, cam, ids, seed0, settings):
+            def body(acc, k):
+                seed = rng_mod.fold(seed0, k)
+                res = trace_rays(jnp, scene, cam, settings, ids, seed)
+                return acc + res.color.x.sum() + res.color.y.sum() + res.color.z.sum(), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.uint32))
+            return acc
+
+    else:
+
+        @functools.partial(jax.jit, static_argnames=("settings",))
+        def step(scene, cam, ids, seed0, settings):
+            tris, bvh = scene.tris, scene.bvh
+            params0 = (scene.materials, scene.lights, cam)
+
+            def frame_loss(params, seed):
+                mats, lights, camst = params
+                sc = Scene(tris=tris, bvh=bvh, materials=mats, lights=lights)
+                res = trace_rays(jnp, sc, camst, settings, ids, seed)
+                return res.color.x.sum() + res.color.y.sum() + res.color.z.sum()
+
+            def body(carry, k):
+                loss_sum, gsum = carry
+                seed = rng_mod.fold(seed0, k)
+                loss, grads = jax.value_and_grad(frame_loss, allow_int=True)(
+                    params0, seed
+                )
+                gsum = jax.tree_util.tree_map(
+                    lambda a, b: a if b.dtype == jax.dtypes.float0 else a + b,
+                    gsum,
+                    grads,
+                )
+                return (loss_sum + loss, gsum), None
+
+            gzero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p)
+                if jnp.issubdtype(p.dtype, jnp.floating)
+                else jnp.zeros_like(p),
+                params0,
+            )
+            (loss, gsum), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), gzero), jnp.arange(K, dtype=jnp.uint32)
+            )
+            return loss, gsum[0].kd.x, gsum[1].rgb.x, gsum[2].eye.x
+
+    t0 = time.time()
+    out = step(jscene, jcam, ids, jnp.uint32(1), settings)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    print(f"[bench] compile+first step: {compile_s:.1f}s", file=sys.stderr)
+
+    iters = args.iters
+    t0 = time.time()
+    for i in range(iters):
+        out = step(jscene, jcam, ids, jnp.uint32(i + 2), settings)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / (iters * K)
+    rays_per_s = rays_per_frame / dt
+    print(
+        f"[bench] {dt * 1e3:.2f} ms/step -> {rays_per_s / 1e6:.1f} M rays/s "
+        f"({'fwd' if args.fwd_only else 'fwd+bwd'})",
+        file=sys.stderr,
+    )
+
+    mode = "fwd" if args.fwd_only else "fwd+bwd"
+    print(
+        json.dumps(
+            {
+                "metric": f"rays/s/chip ({mode}) 1spp {size}x{size} cornell",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / 200e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

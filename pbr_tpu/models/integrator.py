@@ -56,7 +56,7 @@ from pbr_tpu.ops.rng import (
     S_TRANS,
 )
 from pbr_tpu.ops.traverse import intersect_scene
-from pbr_tpu.ops.vec import Vec3, jitter, where3
+from pbr_tpu.ops.vec import Vec3, jitter, safe_div, safe_sqrt, where3
 from pbr_tpu.scene.camera import pixel_dim
 from pbr_tpu.scene.types import CameraState, Scene
 from pbr_tpu.utils.config import BRDF_SCHLICK, RenderSettings
@@ -67,6 +67,10 @@ F32 = np.float32
 class TraceResult(NamedTuple):
     color: Vec3  # (B,) accumulated frame color (pre-progressive-mix)
     focus_t: object  # (B,) first-hit distance (DoF focus channel, pt_rgb.cl:18)
+    # Optional diagnostics (None unless requested):
+    n_path_rays: object = None  # () total path segments traced (live lanes)
+    n_shadow_rays: object = None  # () total NEE shadow rays traced
+    heat_bounces: object = None  # (B,) per-pixel live-bounce count (debug heatmap)
 
 
 def _where(xp, m, a, b):
@@ -161,6 +165,7 @@ def trace_rays(
     frame_seed,
     prev_t=None,
     max_leaf: int = 2,
+    with_stats: bool = False,
 ) -> TraceResult:
     """Trace ``settings.samples`` full paths for each pixel id.
 
@@ -182,6 +187,12 @@ def trace_rays(
     secondary = xp.ones(px.shape, dtype=xp.int32)  # starts at 1 (pathtracing.cl:249)
     focus_t = xp.full(px.shape, INF, dtype=xp.float32)
 
+    # Work counters — the analog of the reference's per-ray debug counters
+    # (intersection tests / node visits → debug image, pt_bvh.cl:23,89).
+    n_path = xp.zeros((), dtype=xp.int32) if with_stats else None
+    n_shadow = xp.zeros((), dtype=xp.int32) if with_stats else None
+    heat = xp.zeros(px.shape, dtype=xp.int32) if with_stats else None
+
     mats = scene.materials
     lights = scene.lights
     num_lights = scene.num_lights
@@ -197,6 +208,9 @@ def trace_rays(
         depth_added = xp.zeros(px.shape, dtype=xp.int32)
 
         for depth in range(settings.max_total_depth):
+            if with_stats:
+                n_path = n_path + xp.sum(alive.astype(xp.int32))
+                heat = heat + alive.astype(xp.int32)
             # ---- intersect -------------------------------------------------
             t, face = intersect_scene(xp, o, d, scene, max_leaf=max_leaf)
             orb_idx = _orb_pass(xp, o, d, lights, t) if num_lights else xp.full(
@@ -259,10 +273,12 @@ def trace_rays(
                     lights.pos.z[0] + 0.0 * px,
                 )
                 l_vec = l_pos - hit_p
-                t_light = l_vec.length()
-                l_dir = l_vec / xp.maximum(t_light, F32(1e-20))
+                t_light = safe_sqrt(l_vec.length2())
+                l_dir = l_vec * safe_div(F32(1.0), t_light)
                 occluded = _shadow_occluded(xp, scene, hit_p, l_dir, t_light, max_leaf)
                 nee_ok = live & (m_d > 0.0) & ~occluded
+                if with_stats:
+                    n_shadow = n_shadow + xp.sum((live & (m_d > 0.0)).astype(xp.int32))
             else:
                 l_dir = zero3
                 nee_ok = xp.zeros(px.shape, dtype=bool)
@@ -370,4 +386,10 @@ def trace_rays(
     final_color = final_color / secondary.astype(xp.float32)
     if settings.samples > 1:
         final_color = final_color / F32(settings.samples)
-    return TraceResult(color=final_color, focus_t=focus_t)
+    return TraceResult(
+        color=final_color,
+        focus_t=focus_t,
+        n_path_rays=n_path,
+        n_shadow_rays=n_shadow,
+        heat_bounces=heat,
+    )

@@ -20,7 +20,19 @@ from __future__ import annotations
 
 import numpy as np
 
-from pbr_tpu.ops.vec import Vec3, bisect, jitter, orthonormal, reflect, where3
+from pbr_tpu.ops.vec import (
+    Vec3,
+    bisect,
+    jitter,
+    orthonormal,
+    reflect,
+    safe_arccos,
+    safe_div,
+    safe_normalized,
+    safe_pow,
+    safe_sqrt,
+    where3,
+)
 from pbr_tpu.utils.config import NI_AIR
 
 PI = np.float32(np.pi)
@@ -61,7 +73,7 @@ def _schlick_A(xp, w, p):
     p2 = p * p
     w2 = w * w
     x = p2 - p2 * w2 + w2
-    return xp.sqrt(_guarded_div(xp, p, x, x == 0.0))
+    return safe_sqrt(_guarded_div(xp, p, x, x == 0.0))
 
 
 def _schlick_G(xp, v, r):
@@ -96,15 +108,15 @@ def schlick_eval(xp, normal: Vec3, d_out: Vec3, d_in: Vec3, rough, p):
     u = h·V_OUT (for the Fresnel term) and pdf = (h·n) / (4π · V_OUT·h).
     """
     v_out_dir = -d_out
-    un = normal.yzx().cross(normal).normalized()
+    un = safe_normalized(normal.yzx().cross(normal))
     h = bisect(v_out_dir, d_in)
     t = h.dot(normal)
     v_in = d_in.dot(normal)
     v_out = v_out_dir.dot(normal)
-    hp = h.cross(normal).cross(normal).normalized()
+    hp = safe_normalized(h.cross(normal).cross(normal))
     w = un.dot(hp)
     u = h.dot(v_out_dir)
-    pdf = t / (4.0 * PI * h.dot(v_out_dir))
+    pdf = safe_div(t, 4.0 * PI * h.dot(v_out_dir))
     return _schlick_D(xp, t, v_out, v_in, w, rough, p), u, pdf
 
 
@@ -117,7 +129,7 @@ def _quadrant_phi(xp, b, iso2):
     quad = xp.floor(b * 4.0)
     b_loc = 1.0 - 4.0 * ((quad + 1.0) * 0.25 - b)
     b2 = b_loc * b_loc
-    phi_base = M_PI_2 * xp.sqrt(
+    phi_base = M_PI_2 * safe_sqrt(
         _guarded_div(xp, iso2 * b2, 1.0 - b2 + b2 * iso2, (1.0 - b2 + b2 * iso2) == 0.0)
     )
     phi = xp.where(
@@ -141,7 +153,7 @@ def schlick_sample(xp, d: Vec3, normal: Vec3, rough, p, ra, rb, rc) -> Vec3:
     """
     iso2 = p * p
     denom = rough - ra * rough + ra
-    alpha = xp.arccos(xp.sqrt(_guarded_div(xp, ra, denom, denom == 0.0)))
+    alpha = safe_arccos(safe_sqrt(_guarded_div(xp, ra, denom, denom == 0.0)))
     phi = _quadrant_phi(xp, rb, iso2)
     phi = xp.where(p < 1.0, phi + M_PI_2, phi)
 
@@ -173,8 +185,8 @@ def sa_eval(xp, normal: Vec3, d_out: Vec3, d_in: Vec3, nu, nv):
     fractional exponents, pt_brdf.cl:252); both our backends clamp the same
     way so parity holds.
     """
-    un = normal.yzx().cross(normal).normalized()
-    vn = normal.cross(un).normalized()
+    un = safe_normalized(normal.yzx().cross(normal))
+    vn = safe_normalized(normal.cross(un))
 
     k1 = d_in  # to light (pt_brdf.cl:237)
     k2 = -d_out  # to viewer
@@ -190,8 +202,8 @@ def sa_eval(xp, normal: Vec3, d_out: Vec3, d_in: Vec3, nu, nv):
     ps_e_num = nu * dot_hu * dot_hu + nv * dot_hv * dot_hv
     ps_e = _guarded_div(xp, ps_e_num, 1.0 - dot_hn * dot_hn, dot_hn == 1.0)
     ps0 = xp.sqrt((nu + 1.0) * (nv + 1.0)) * np.float32(0.125) * M_1_PI
-    ps1_num = xp.power(xp.maximum(dot_hn, np.float32(0.0)), ps_e)
-    ps1 = ps1_num / (dot_hk1 * xp.maximum(dot_nk1, dot_nk2))
+    ps1_num = safe_pow(dot_hn, ps_e)
+    ps1 = safe_div(ps1_num, dot_hk1 * xp.maximum(dot_nk1, dot_nk2))
 
     a = 1.0 - dot_nk1 * 0.5
     b = 1.0 - dot_nk2 * 0.5
@@ -200,7 +212,7 @@ def sa_eval(xp, normal: Vec3, d_out: Vec3, d_in: Vec3, nu, nv):
     pd = pd * (1.0 - b * b * b * b * b)
 
     spec = ps0 * ps1
-    pdf = (ps0 * ps1_num) / dot_hk1
+    pdf = safe_div(ps0 * ps1_num, dot_hk1)
     return spec, pd, dot_hk1, pdf
 
 
@@ -224,7 +236,7 @@ def sa_sample(xp, d: Vec3, normal: Vec3, mtl_d, nu, nv, ra, rb, rc) -> Vec3:
     cosphi = xp.cos(phi)
     sinphi = xp.sin(phi)
     theta_e = 1.0 / (nu * cosphi * cosphi + nv * sinphi * sinphi + 1.0)
-    theta = xp.arccos(xp.power(1.0 - rb, theta_e))
+    theta = safe_arccos(safe_pow(1.0 - rb, theta_e))
 
     # Use the unflipped normal only when opaque backface (pt_brdf.cl:319).
     n_eff = where3((mtl_d < 1.0) | (normal.dot(-d) >= 0.0), normal, -normal)
@@ -257,7 +269,7 @@ def refract_dir(xp, d: Vec3, normal: Vec3, ni, rand_choice) -> Vec3:
     sin_t2 = m * m * (1.0 - cos_i * cos_i)
     tir = sin_t2 >= 1.0
 
-    sqrt_cos_t = xp.sqrt(xp.maximum(1.0 - sin_t2, 0.0))
+    sqrt_cos_t = safe_sqrt(1.0 - sin_t2)
     r0 = (m1 - m2) / (m1 + m2)
     c = xp.where(m1 > m2, sqrt_cos_t, cos_i)
     reflectance = fresnel(c, r0 * r0)

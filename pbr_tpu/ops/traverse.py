@@ -45,8 +45,10 @@ def intersect_brute(xp, o: Vec3, d: Vec3, tris: TrianglesSoA):
         import jax
 
         nf = int(tris.mtl.shape[0])
-        t0 = xp.full(o.x.shape, INF, dtype=xp.float32)
-        f0 = xp.full(o.x.shape, -1, dtype=xp.int32)
+        # full_like keeps shard_map varying-axes metadata attached to o.x
+        # (a plain xp.full constant would mismatch the loop carry's vma).
+        t0 = xp.full_like(o.x, INF)
+        f0 = xp.full_like(o.x, -1, dtype=xp.int32)
 
         def body(f, state):
             t_best, face_best = state
@@ -123,9 +125,9 @@ def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA, max_
     pt_bvh.cl:35-46, generalized)."""
     n = bvh.count
     inv_d = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
-    idx0 = xp.zeros(o.x.shape, dtype=xp.int32)
-    t0 = xp.full(o.x.shape, INF, dtype=xp.float32)
-    f0 = xp.full(o.x.shape, -1, dtype=xp.int32)
+    idx0 = xp.full_like(o.x, 0, dtype=xp.int32)
+    t0 = xp.full_like(o.x, INF)
+    f0 = xp.full_like(o.x, -1, dtype=xp.int32)
 
     if _is_jax(xp):
         import jax
@@ -149,7 +151,33 @@ def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA, max_
 def intersect_scene(xp, o: Vec3, d: Vec3, scene, max_leaf: int = 2):
     """Dispatch on whether the scene carries a BVH (the analog of the
     reference's ACCEL_STRUCT kernel specialization, pathtracing.cl:217-219).
+
+    The BVH walk is a ``while_loop`` — not reverse-differentiable — so it
+    runs *detached* (visibility is non-differentiable by convention anyway)
+    and the winning face's ``t`` is then re-evaluated with plain
+    Möller-Trumbore, through which gradients w.r.t. ray origin/direction
+    and geometry flow exactly. Both backends re-evaluate identically so
+    numpy/jax parity is unaffected.
     """
     if scene.bvh is not None:
-        return intersect_bvh(xp, o, d, scene.bvh, scene.tris, max_leaf=max_leaf)
+        if _is_jax(xp):
+            import jax
+
+            sg = lambda v: Vec3(  # noqa: E731
+                jax.lax.stop_gradient(v.x),
+                jax.lax.stop_gradient(v.y),
+                jax.lax.stop_gradient(v.z),
+            )
+            _, face = intersect_bvh(
+                xp, sg(o), sg(d), scene.bvh, scene.tris, max_leaf=max_leaf
+            )
+        else:
+            _, face = intersect_bvh(xp, o, d, scene.bvh, scene.tris, max_leaf=max_leaf)
+        safe = xp.maximum(face, 0)
+        v0 = gather_vec3(scene.tris.v0, safe)
+        e1 = gather_vec3(scene.tris.e1, safe)
+        e2 = gather_vec3(scene.tris.e2, safe)
+        t_re, _ = moller_trumbore(xp, o, d, v0, e1, e2)
+        t = xp.where(face >= 0, t_re, INF)
+        return t, face
     return intersect_brute(xp, o, d, scene.tris)

@@ -139,6 +139,58 @@ def _rsqrt_like(a):
     return 1.0 / _xp_of(a).sqrt(a)
 
 
+# ---------------------------------------------------------------------------
+# Backward-safe math: forward-exact on the valid domain, zero (not NaN)
+# gradients at the boundary. The standard `where` trick is not enough — the
+# VJP of sqrt/pow/arccos multiplies the (zeroed) cotangent by an infinite
+# local derivative, and 0 * inf = NaN poisons the whole gradient. These
+# helpers guard the *input* so the infinite derivative is never formed.
+# ---------------------------------------------------------------------------
+
+
+def safe_sqrt(x):
+    """sqrt(x) for x > 0, exactly; 0 at x <= 0 with zero gradient."""
+    mod = _xp_of(x)
+    pos = x > 0.0
+    return mod.where(pos, mod.sqrt(mod.where(pos, x, 1.0)), 0.0)
+
+
+def safe_pow(x, e):
+    """x**e for x > 0, exactly; 0 at x <= 0 with zero gradient.
+
+    (The reference's ``pow`` NaNs for negative bases with fractional
+    exponents, e.g. pt_brdf.cl:252; both backends use this clamp.)
+    """
+    mod = _xp_of(x)
+    pos = x > 0.0
+    return mod.where(pos, mod.power(mod.where(pos, x, 1.0), e), 0.0)
+
+
+def safe_arccos(x):
+    """arccos with clamped domain and finite gradients at the endpoints."""
+    mod = _xp_of(x)
+    inside = mod.abs(x) < 1.0
+    core = mod.arccos(mod.where(inside, x, 0.0))
+    ends = mod.where(x >= 1.0, np.float32(0.0), np.float32(np.pi))
+    return mod.where(inside, core, ends)
+
+
+def safe_div(num, den, eps=1e-12):
+    """num / den where |den| > eps, else 0 — with zero gradient there."""
+    mod = _xp_of(den)
+    ok = mod.abs(den) > eps
+    return mod.where(ok, num / mod.where(ok, den, 1.0), 0.0)
+
+
+def safe_normalized(v: "Vec3", eps=1e-20) -> "Vec3":
+    """Unit vector; zero vector (zero grad) for degenerate input."""
+    mod = _xp_of(v.x)
+    l2 = v.length2()
+    ok = l2 > eps
+    inv = mod.where(ok, 1.0 / mod.sqrt(mod.where(ok, l2, 1.0)), 0.0)
+    return v * inv
+
+
 def where3(mask, a: Vec3, b: Vec3) -> Vec3:
     """Component-wise ``where`` over Vec3 (works for np and jnp masks)."""
     mod = _xp_of(mask)
@@ -155,8 +207,9 @@ def reflect(d: Vec3, n: Vec3) -> Vec3:
 
 
 def bisect(v: Vec3, w: Vec3) -> Vec3:
-    """Normalized half-vector (reference ``bisect`` macro, pt_utils.cl:7)."""
-    return (v + w).normalized()
+    """Normalized half-vector (reference ``bisect`` macro, pt_utils.cl:7);
+    zero (not NaN) for exactly opposite inputs, with zero gradient."""
+    return safe_normalized(v + w)
 
 
 def project_on_plane(q: Vec3, p: Vec3, n: Vec3) -> Vec3:
@@ -170,8 +223,8 @@ def orthonormal(n: Vec3) -> tuple:
     ``u = normalize(cross(n.yzx, n)); v = normalize(cross(n, u))``
     (pt_utils.cl:309-310). Degenerate when n ∥ n.yzx, as in the reference.
     """
-    u = n.yzx().cross(n).normalized()
-    v = n.cross(u).normalized()
+    u = safe_normalized(n.yzx().cross(n))
+    v = safe_normalized(n.cross(u))
     return u, v
 
 

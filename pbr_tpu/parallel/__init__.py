@@ -1,0 +1,5 @@
+from pbr_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    sharded_render,
+    sharded_train_step,
+)

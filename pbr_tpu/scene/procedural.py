@@ -54,7 +54,7 @@ def cornell_box() -> Tuple[str, str, str]:
 # Cornell materials — Schlick and Shirley-Ashikhmin parameter sets.
 newmtl white
 Kd 0.736 0.735 0.729
-Ks 0.0 0.0 0.0
+Ks 1.0 1.0 1.0
 rough 1.0
 p 1.0
 nu 0
@@ -64,7 +64,7 @@ Rd 1.0
 
 newmtl red
 Kd 0.611 0.056 0.062
-Ks 0.0 0.0 0.0
+Ks 1.0 1.0 1.0
 rough 1.0
 p 1.0
 nu 0
@@ -74,7 +74,7 @@ Rd 1.0
 
 newmtl green
 Kd 0.117 0.435 0.115
-Ks 0.0 0.0 0.0
+Ks 1.0 1.0 1.0
 rough 1.0
 p 1.0
 nu 0
@@ -162,7 +162,7 @@ f 1 2 3
     mtl = """
 newmtl grey
 Kd 0.5 0.6 0.7
-Ks 0.0 0.0 0.0
+Ks 1.0 1.0 1.0
 rough 1.0
 p 1.0
 nu 0
