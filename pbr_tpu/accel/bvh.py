@@ -162,7 +162,8 @@ def build_bvh(
                 r_ids = face_ids[~go_left]
                 sa_l = _surface_area(fmin[l_ids].min(0), fmax[l_ids].max(0))
                 sa_r = _surface_area(fmin[r_ids].min(0), fmax[r_ids].max(0))
-                cost = sa_l * nl + sa_r * (n - nl)
+                # f64 cost accumulation (the native builder mirrors this).
+                cost = np.float64(sa_l) * nl + np.float64(sa_r) * (n - nl)
                 if best is None or cost < best[0]:
                     best = (cost, l_ids, r_ids)
             if best is None:

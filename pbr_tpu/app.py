@@ -1,0 +1,278 @@
+"""Command-line renderer: the headless counterpart of the reference's Qt app
+(``main.cpp`` + ``Window``/``GLWidget``: load config, import model, run the
+progressive render loop, display). On a TPU host there is no GL window;
+frames accumulate on device and are written as PNG.
+
+Usage examples:
+    python -m pbr_tpu.app render --scene cornell --frames 64 --out out.png
+    python -m pbr_tpu.app render --scene model.obj --config config.json \\
+        --frames 16 --out out.png --stats --heatmap heat.png
+    python -m pbr_tpu.app render --scene cornell --checkpoint ckpt/ --frames 8
+    python -m pbr_tpu.app fit --scene cornell --steps 100 --out fit.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load_scene(spec: str, settings, bvh_cfg=None):
+    """Scene from a spec: an .obj path or a procedural name
+    (cornell | triangle | soup:N)."""
+    from pbr_tpu.scene.build import apply_scene_constants, scene_from_text
+    from pbr_tpu.scene.procedural import cornell_box, random_soup, single_triangle
+    from pbr_tpu.utils.config import ACCEL_BVH
+
+    use_bvh = settings.accel_struct == ACCEL_BVH
+    if spec.endswith(".obj"):
+        from pbr_tpu.io.loader import load_model
+
+        scene, settings, obj = load_model(spec, settings, bvh_cfg)
+        return scene, settings
+    if spec == "cornell":
+        obj, mtl, li = cornell_box()
+    elif spec == "triangle":
+        obj, mtl, li = single_triangle()
+    elif spec.startswith("soup:"):
+        obj, mtl, li = random_soup(int(spec.split(":")[1])), "", ""
+    else:
+        raise SystemExit(f"unknown scene spec: {spec}")
+    from pbr_tpu.io.mtl import parse_mtl
+    from pbr_tpu.io.obj import parse_obj
+    from pbr_tpu.io.lights import parse_lights
+
+    objd = parse_obj(obj, mtl=parse_mtl(mtl) if mtl else None,
+                     lights=parse_lights(li) if li else [])
+    from pbr_tpu.scene.build import build_scene
+
+    scene = build_scene(objd, bvh_cfg=bvh_cfg, use_bvh=use_bvh)
+    settings = apply_scene_constants(settings, objd)
+    return scene, settings
+
+
+def _default_camera(cfg):
+    from pbr_tpu.scene.camera import Camera
+
+    return Camera(cfg)
+
+
+def cmd_render(args) -> None:
+    import jax
+
+    from pbr_tpu.models.pathtracer import PathTracer
+    from pbr_tpu.utils import checkpoint as ckpt_mod
+    from pbr_tpu.utils.config import load_config
+    from pbr_tpu.utils.image import save_render
+    from pbr_tpu.utils.log import Logger, Timer
+    from pbr_tpu.utils.profiling import StageTimer
+
+    cfg = load_config(args.config)
+    Logger.set_level(cfg.logging_level)
+    settings = cfg.render
+    if args.size:
+        settings = settings.replace(width=args.size, height=args.size)
+    if args.spp is not None:
+        settings = settings.replace(samples=args.spp)
+    if args.scene == "cornell":
+        settings = settings.replace(shadow_rays=1)
+
+    timers = StageTimer()
+    with timers.span("scene build"):
+        scene, settings = _load_scene(args.scene, settings, cfg.bvh)
+
+    cam_obj = _default_camera(cfg.camera)
+    if args.scene == "cornell":
+        cam_obj.eye = [0.0, 1.0, 3.2]
+    cam = cam_obj.state()
+
+    with timers.span("tracer init"):
+        pt = PathTracer(scene, settings)
+
+    start_frame = 0
+    if args.checkpoint and os.path.exists(os.path.join(args.checkpoint, "meta.json")):
+        with timers.span("restore"):
+            pt.state, meta = ckpt_mod.restore(args.checkpoint, pt.state)
+            pt.state = jax.tree_util.tree_map(jax.numpy.asarray, pt.state)
+            start_frame = int(meta.get("frames", pt.sample_count))
+        Logger.info(f"[app] Resumed at frame {start_frame}.")
+
+    with timers.span("compile+first frame", sync=None):
+        pt.render(cam, frame_seed=start_frame)
+        jax.block_until_ready(pt.state.rgb.x)
+
+    t = Timer()
+    with timers.span(f"{max(args.frames - 1, 0)} frames"):
+        for i in range(start_frame + 1, start_frame + args.frames):
+            pt.render(cam, frame_seed=i)
+        jax.block_until_ready(pt.state.rgb.x)
+    n_done = max(args.frames - 1, 1)
+    Logger.info(
+        f"[app] {args.frames} frames at {settings.width}x{settings.height} "
+        f"({t.s() / n_done * 1e3:.2f} ms/frame steady-state); "
+        f"{pt.sample_count} samples accumulated."
+    )
+
+    if args.checkpoint:
+        with timers.span("checkpoint"):
+            ckpt_mod.save(
+                args.checkpoint, pt.state, meta={"frames": start_frame + args.frames}
+            )
+
+    if args.out:
+        with timers.span("write png"):
+            save_render(args.out, pt.image(), exposure=args.exposure)
+        Logger.info(f"[app] Wrote {args.out}")
+    if args.depth_out:
+        from pbr_tpu.utils.image import tonemap, write_png
+
+        depth = pt.depth_image()
+        finite = np.isfinite(depth)
+        scale = depth[finite].max() if finite.any() else 1.0
+        write_png(args.depth_out, tonemap(np.repeat(
+            (np.where(finite, depth, scale) / max(scale, 1e-9))[..., None], 3, axis=-1
+        )))
+        Logger.info(f"[app] Wrote {args.depth_out}")
+    if args.heatmap:
+        _write_heatmap(args.heatmap, scene, cam, settings)
+    if args.stats:
+        print(timers.table())
+
+
+def _write_heatmap(path: str, scene, cam, settings) -> None:
+    """Per-pixel work heatmap — the debug image of the reference
+    (writeDebugImage, pathtracing.cl:73-78), here counting live bounces."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.utils.image import tonemap, write_png
+    from pbr_tpu.utils.log import Logger
+
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    npx = settings.width * settings.height
+    ids = jnp.arange(npx, dtype=jnp.int32)
+    f = jax.jit(
+        functools.partial(trace_rays, jnp, with_stats=True),
+        static_argnames=("settings",),
+    )
+    res = f(jscene, jcam, settings=settings, pixel_ids=ids, frame_seed=jnp.uint32(0))
+    heat = np.asarray(res.heat_bounces, dtype=np.float32).reshape(
+        settings.height, settings.width
+    )[::-1]
+    heat = heat / max(float(heat.max()), 1.0)
+    write_png(path, tonemap(np.repeat(heat[..., None], 3, axis=-1), gamma=1.0))
+    Logger.info(f"[app] Wrote {path}")
+
+
+def cmd_fit(args) -> None:
+    """Inverse-rendering demo: perturb material albedos, recover them by
+    gradient descent against the original render (BASELINE.json config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.scene.types import Scene
+    from pbr_tpu.utils.config import load_config
+    from pbr_tpu.utils.image import save_render
+    from pbr_tpu.utils.log import Logger
+
+    cfg = load_config(args.config)
+    settings = cfg.render.replace(
+        width=args.size or 64, height=args.size or 64, shadow_rays=1, brdf=0,
+        max_depth=2, max_added_depth=0,
+    )
+    scene, settings = _load_scene(args.scene, settings, cfg.bvh)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    cam_obj = _default_camera(cfg.camera)
+    if args.scene == "cornell":
+        cam_obj.eye = [0.0, 1.0, 3.2]
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam_obj.state())
+    npx = settings.width * settings.height
+    ids = jnp.arange(npx, dtype=jnp.int32)
+
+    def render(kd):
+        mats = jscene.materials._replace(kd=kd)
+        sc = Scene(tris=jscene.tris, bvh=jscene.bvh, materials=mats, lights=jscene.lights)
+        return trace_rays(jnp, sc, jcam, settings, ids, jnp.uint32(5)).color
+
+    target = render(jscene.materials.kd)
+
+    @jax.jit
+    def step(kd, lr):
+        def loss_fn(kd):
+            c = render(kd)
+            return (
+                jnp.sum((c.x - target.x) ** 2)
+                + jnp.sum((c.y - target.y) ** 2)
+                + jnp.sum((c.z - target.z) ** 2)
+            ) / npx
+
+        val, g = jax.value_and_grad(loss_fn)(kd)
+        new = jax.tree_util.tree_map(lambda p, gg: jnp.clip(p - lr * gg, 0.0, 1.0), kd, g)
+        return val, new
+
+    rng = np.random.RandomState(0)
+    kd0 = jscene.materials.kd
+    kd = kd0._replace(
+        x=jnp.clip(kd0.x + jnp.asarray(rng.uniform(-0.3, 0.3, kd0.x.shape), jnp.float32), 0, 1)
+    )
+    l0 = None
+    for i in range(args.steps):
+        loss, kd = step(kd, args.lr)
+        if l0 is None:
+            l0 = float(loss)
+        if i % 10 == 0:
+            Logger.info(f"[fit] step {i}: loss {float(loss):.6f}")
+    err = float(jnp.abs(kd.x - kd0.x).max())
+    Logger.info(
+        f"[fit] loss {l0:.6f} -> {float(loss):.6f}; max albedo error {err:.4f}"
+    )
+    if args.out:
+        c = render(kd)
+        rgb = np.stack([np.asarray(c.x), np.asarray(c.y), np.asarray(c.z)], -1)
+        save_render(args.out, rgb.reshape(settings.height, settings.width, 3)[::-1],
+                    exposure=args.exposure)
+        Logger.info(f"[fit] Wrote {args.out}")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="pbr_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="progressive render to PNG")
+    r.add_argument("--scene", default="cornell", help=".obj path or cornell|triangle|soup:N")
+    r.add_argument("--config", default=None, help="config.json (reference key layout)")
+    r.add_argument("--frames", type=int, default=16)
+    r.add_argument("--size", type=int, default=256)
+    r.add_argument("--spp", type=int, default=None)
+    r.add_argument("--out", default="render.png")
+    r.add_argument("--depth-out", default=None)
+    r.add_argument("--heatmap", default=None)
+    r.add_argument("--exposure", type=float, default=0.4)
+    r.add_argument("--checkpoint", default=None)
+    r.add_argument("--stats", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    f = sub.add_parser("fit", help="inverse-rendering demo")
+    f.add_argument("--scene", default="cornell")
+    f.add_argument("--config", default=None)
+    f.add_argument("--steps", type=int, default=100)
+    f.add_argument("--size", type=int, default=64)
+    f.add_argument("--lr", type=float, default=0.01)
+    f.add_argument("--out", default=None)
+    f.add_argument("--exposure", type=float, default=0.4)
+    f.set_defaults(fn=cmd_fit)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

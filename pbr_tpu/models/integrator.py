@@ -148,11 +148,18 @@ def _orb_pass(xp, o, d, lights, t_geom):
     return _where(xp, miss_geom, orb_idx, xp.int32(-1))
 
 
-def _shadow_occluded(xp, scene, hit_p, l_dir, t_light, max_leaf):
+def _shadow_occluded(xp, scene, hit_p, l_dir, t_light, max_leaf, mode, pt_alpha=0.0):
     """Any-hit shadow test (traverseShadows, pt_bvh.cl:133-177): occluded
     iff some *geometry* hit lies closer than the light (orbs never occlude —
-    the reference resets t to INF on orb hits, pt_bvh.cl:68)."""
-    t_sh, _ = intersect_scene(xp, hit_p, l_dir, scene, max_leaf=max_leaf)
+    the reference resets t to INF on orb hits, pt_bvh.cl:68). With Phong
+    tessellation enabled, shadow rays test the curved patches too, as the
+    reference's shared checkFaceIntersection did."""
+    if pt_alpha > 0.0:
+        from pbr_tpu.ops.phongtess import intersect_brute_phongtess
+
+        t_sh, _, _, _ = intersect_brute_phongtess(xp, hit_p, l_dir, scene.tris, F32(pt_alpha))
+    else:
+        t_sh, _ = intersect_scene(xp, hit_p, l_dir, scene, max_leaf=max_leaf, mode=mode)
     return t_sh < t_light
 
 
@@ -212,7 +219,17 @@ def trace_rays(
                 n_path = n_path + xp.sum(alive.astype(xp.int32))
                 heat = heat + alive.astype(xp.int32)
             # ---- intersect -------------------------------------------------
-            t, face = intersect_scene(xp, o, d, scene, max_leaf=max_leaf)
+            if settings.phong_tessellation > 0.0:
+                from pbr_tpu.ops.phongtess import intersect_brute_phongtess
+
+                t, face, pt_u, pt_v = intersect_brute_phongtess(
+                    xp, o, d, scene.tris, F32(settings.phong_tessellation)
+                )
+            else:
+                t, face = intersect_scene(
+                    xp, o, d, scene, max_leaf=max_leaf, mode=settings.intersector
+                )
+                pt_u = pt_v = None
             orb_idx = _orb_pass(xp, o, d, lights, t) if num_lights else xp.full(
                 px.shape, -1, dtype=xp.int32
             )
@@ -248,6 +265,28 @@ def trace_rays(
             e1 = gather_vec3(scene.tris.e1, face_safe)
             e2 = gather_vec3(scene.tris.e2, face_safe)
             normal = geometric_normal(e1, e2)
+            if pt_u is not None:
+                # Curved-patch shading normal for Phong-tessellated winners
+                # (getPhongTessNormal, pt_utils.cl:282-294).
+                from pbr_tpu.ops.phongtess import (
+                    face_is_flat,
+                    patch_constants,
+                    phongtess_normal,
+                )
+
+                n1g = gather_vec3(scene.tris.n0, face_safe)
+                n2g = gather_vec3(scene.tris.n1, face_safe)
+                n3g = gather_vec3(scene.tris.n2, face_safe)
+                v0g = gather_vec3(scene.tris.v0, face_safe)
+                c1, c2, c3, e12, e20 = patch_constants(
+                    v0g, v0g + e1, v0g + e2, n1g, n2g, n3g,
+                    F32(settings.phong_tessellation),
+                )
+                n_pt = phongtess_normal(
+                    xp, d, n1g, n2g, n3g, c1, c2, c3, e12, e20, pt_u, pt_v
+                )
+                flat_w = face_is_flat(xp, scene.tris)[face_safe]
+                normal = where3(flat_w, normal, n_pt)
 
             # ---- path extension decision (extendDepth, pt_utils.cl:89-96) -
             if settings.brdf == BRDF_SCHLICK:
@@ -275,7 +314,10 @@ def trace_rays(
                 l_vec = l_pos - hit_p
                 t_light = safe_sqrt(l_vec.length2())
                 l_dir = l_vec * safe_div(F32(1.0), t_light)
-                occluded = _shadow_occluded(xp, scene, hit_p, l_dir, t_light, max_leaf)
+                occluded = _shadow_occluded(
+                    xp, scene, hit_p, l_dir, t_light, max_leaf,
+                    settings.intersector, settings.phong_tessellation,
+                )
                 nee_ok = live & (m_d > 0.0) & ~occluded
                 if with_stats:
                     n_shadow = n_shadow + xp.sum((live & (m_d > 0.0)).astype(xp.int32))

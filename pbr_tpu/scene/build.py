@@ -41,7 +41,20 @@ def build_scene(
         v0 = tris.v0.stack(np)
         v1 = (tris.v0 + tris.e1).stack(np)
         v2 = (tris.v0 + tris.e2).stack(np)
-        bvh, leaf_order, _ = build_bvh(v0, v1, v2, bvh_cfg or BVHConfig())
+        cfg = bvh_cfg or BVHConfig()
+        # The native C++ builder is byte-identical to the NumPy one
+        # (tests/test_native.py); prefer it when the build is big enough
+        # for Python overhead to matter.
+        bvh = None
+        if tris.count >= 4096:
+            try:
+                from pbr_tpu.accel.native import build_bvh_native
+
+                bvh, leaf_order = build_bvh_native(v0, v1, v2, cfg)
+            except RuntimeError:
+                bvh = None
+        if bvh is None:
+            bvh, leaf_order, _ = build_bvh(v0, v1, v2, cfg)
         tris = permute_triangles(tris, leaf_order)
     materials = obj.mtl.to_soa()
     lights = lights_to_soa(obj.lights) if obj.lights else no_lights()

@@ -74,6 +74,9 @@ class RenderSettings:
     anti_aliasing: float = 0.7  # render.antialiasing (sub-pixel jitter scale)
     phong_tessellation: float = 0.0  # render.phong_tessellation (0 = off)
     accel_struct: int = ACCEL_BVH
+    # Intersector implementation: 'auto' (bvh if built, else brute),
+    # 'brute', 'gemm' (MXU matmul), 'pallas' (fused TPU kernel), 'bvh'.
+    intersector: str = "auto"
     # Scene-dependent constants the reference injected at kernel build time:
     # NUM_LIGHTS / SKY_LIGHT / BVH_NUM_NODES become static here too, derived
     # from the Scene at trace time (shapes are static anyway).
