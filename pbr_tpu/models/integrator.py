@@ -91,6 +91,39 @@ def _sanitize3(xp, v: Vec3) -> Vec3:
     return Vec3(f(v.x), f(v.y), f(v.z))
 
 
+def _gather_materials(xp, mats, midx):
+    """Gather all per-ray material fields.
+
+    On the jax path with few materials this is ONE one-hot matmul
+    (B, M) @ (M, 16): numerically exact (a single 1.0 per row), it runs on
+    the MXU, and — decisively — its *transpose* in the backward pass is
+    another matmul instead of a million-lane scatter-add into the (M,)
+    material arrays. NumPy (and large-M) fall back to fancy indexing.
+    """
+    fields = (
+        mats.d, mats.Ni, mats.rough, mats.p, mats.nu, mats.nv, mats.Rs, mats.Rd,
+        mats.kd.x, mats.kd.y, mats.kd.z, mats.ks.x, mats.ks.y, mats.ks.z,
+    )
+    m = int(mats.d.shape[0])
+    if xp.__name__.startswith("jax") and m <= 128:
+        import jax
+
+        table = xp.stack(fields, axis=1)  # (M, 14)
+        onehot = (midx[:, None] == xp.arange(m, dtype=midx.dtype)[None, :]).astype(
+            xp.float32
+        )
+        out = jax.lax.dot_general(
+            onehot, table, (((1,), (0,)), ((), ())), preferred_element_type=xp.float32
+        )  # (B, 14)
+        vals = [out[:, i] for i in range(14)]
+    else:
+        vals = [f[midx] for f in fields]
+    return (
+        vals[0], vals[1], vals[2], vals[3], vals[4], vals[5], vals[6], vals[7],
+        Vec3(vals[8], vals[9], vals[10]), Vec3(vals[11], vals[12], vals[13]),
+    )
+
+
 def _broadcast_cam(cam: CameraState, like):
     """Broadcast scalar camera Vec3s to the ray batch shape."""
     ones = like * 0.0 + 1.0
@@ -189,16 +222,21 @@ def trace_rays(
     if prev_t is None:
         prev_t = xp.full(px.shape, INF, dtype=xp.float32)
 
-    zero3 = Vec3.full(xp, px.shape, (0.0, 0.0, 0.0))
+    # All state arrays derive from ``base`` = px + 0*u(seed): numerically
+    # identical to px, but it carries the union of the pixel batch's and the
+    # seed's shard_map varying-axes metadata, so scan carries typecheck when
+    # the seed is a per-shard value (sample-parallel rendering).
+    base = px + rng.u(0, 0, S_RR) * F32(0.0)
+    zero3 = Vec3(xp.zeros_like(base), xp.zeros_like(base), xp.zeros_like(base))
     final_color = zero3
-    secondary = xp.ones(px.shape, dtype=xp.int32)  # starts at 1 (pathtracing.cl:249)
-    focus_t = xp.full(px.shape, INF, dtype=xp.float32)
+    secondary = xp.full_like(base, 1, dtype=xp.int32)  # starts at 1 (pathtracing.cl:249)
+    focus_t = xp.full_like(base, INF)
 
     # Work counters — the analog of the reference's per-ray debug counters
     # (intersection tests / node visits → debug image, pt_bvh.cl:23,89).
-    n_path = xp.zeros((), dtype=xp.int32) if with_stats else None
-    n_shadow = xp.zeros((), dtype=xp.int32) if with_stats else None
-    heat = xp.zeros(px.shape, dtype=xp.int32) if with_stats else None
+    n_path = xp.sum(xp.zeros_like(base)).astype(xp.int32) if with_stats else None
+    n_shadow = xp.sum(xp.zeros_like(base)).astype(xp.int32) if with_stats else None
+    heat = xp.zeros_like(base, dtype=xp.int32) if with_stats else None
 
     mats = scene.materials
     lights = scene.lights
@@ -208,13 +246,17 @@ def trace_rays(
 
     for s in range(settings.samples):
         o, d = _gen_rays(xp, cam, settings, px, py, rng, s, prev_t)
-        color = Vec3.full(xp, px.shape, (1.0, 1.0, 1.0))
-        light_found = xp.zeros(px.shape, dtype=bool)
+        color = Vec3(xp.full_like(base, 1.0), xp.full_like(base, 1.0), xp.full_like(base, 1.0))
+        light_found = xp.zeros_like(base, dtype=bool)
         light_val = zero3
-        alive = xp.ones(px.shape, dtype=bool)
-        depth_added = xp.zeros(px.shape, dtype=xp.int32)
+        alive = xp.full_like(base, True, dtype=bool)
+        depth_added = xp.zeros_like(base, dtype=xp.int32)
 
-        for depth in range(settings.max_total_depth):
+        def bounce_body(depth, carry):
+            (
+                o, d, color, alive, light_found, light_val, depth_added,
+                final_color, secondary, focus_t, n_path, n_shadow, heat,
+            ) = carry
             if with_stats:
                 n_path = n_path + xp.sum(alive.astype(xp.int32))
                 heat = heat + alive.astype(xp.int32)
@@ -234,8 +276,10 @@ def trace_rays(
                 px.shape, -1, dtype=xp.int32
             )
 
-            if s == 0 and depth == 0:
-                focus_t = t
+            if s == 0:
+                # focus = first-bounce hit distance of sample 0
+                # (pathtracing.cl:261).
+                focus_t = _where(xp, depth == 0, t, focus_t)
 
             hit = xp.isfinite(t) & alive
             # ---- miss: sky or orb emission (pathtracing.cl:263-266) -------
@@ -251,19 +295,20 @@ def trace_rays(
 
             # ---- material & geometric normal ------------------------------
             face_safe = xp.maximum(face, 0)
-            midx = scene.tris.mtl[face_safe]
-            m_d = mats.d[midx]
-            m_ni = mats.Ni[midx]
-            m_rough = mats.rough[midx]
-            m_p = mats.p[midx]
-            m_nu = mats.nu[midx]
-            m_nv = mats.nv[midx]
-            m_rs = mats.Rs[midx]
-            m_rd = mats.Rd[midx]
-            m_kd = gather_vec3(mats.kd, midx)
-            m_ks = gather_vec3(mats.ks, midx)
-            e1 = gather_vec3(scene.tris.e1, face_safe)
-            e2 = gather_vec3(scene.tris.e2, face_safe)
+            tris_sg = scene.tris
+            if xp.__name__.startswith("jax"):
+                import jax
+
+                # Geometry is not a gradient target; detaching it here keeps
+                # the backward free of million-lane scatter-adds into the
+                # (F,) triangle arrays.
+                tris_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, tris_sg)
+            midx = tris_sg.mtl[face_safe]
+            (
+                m_d, m_ni, m_rough, m_p, m_nu, m_nv, m_rs, m_rd, m_kd, m_ks
+            ) = _gather_materials(xp, mats, midx)
+            e1 = gather_vec3(tris_sg.e1, face_safe)
+            e2 = gather_vec3(tris_sg.e2, face_safe)
             normal = geometric_normal(e1, e2)
             if pt_u is not None:
                 # Curved-patch shading normal for Phong-tessellated winners
@@ -274,10 +319,10 @@ def trace_rays(
                     phongtess_normal,
                 )
 
-                n1g = gather_vec3(scene.tris.n0, face_safe)
-                n2g = gather_vec3(scene.tris.n1, face_safe)
-                n3g = gather_vec3(scene.tris.n2, face_safe)
-                v0g = gather_vec3(scene.tris.v0, face_safe)
+                n1g = gather_vec3(tris_sg.n0, face_safe)
+                n2g = gather_vec3(tris_sg.n1, face_safe)
+                n3g = gather_vec3(tris_sg.n2, face_safe)
+                v0g = gather_vec3(tris_sg.v0, face_safe)
                 c1, c2, c3, e12, e20 = patch_constants(
                     v0g, v0g + e1, v0g + e2, n1g, n2g, n3g,
                     F32(settings.phong_tessellation),
@@ -285,7 +330,7 @@ def trace_rays(
                 n_pt = phongtess_normal(
                     xp, d, n1g, n2g, n3g, c1, c2, c3, e12, e20, pt_u, pt_v
                 )
-                flat_w = face_is_flat(xp, scene.tris)[face_safe]
+                flat_w = face_is_flat(xp, tris_sg)[face_safe]
                 normal = where3(flat_w, normal, n_pt)
 
             # ---- path extension decision (extendDepth, pt_utils.cl:89-96) -
@@ -338,6 +383,18 @@ def trace_rays(
             else:
                 brdf_dir = sa_sample(xp, d, normal, m_d, m_nu, m_nv, ra, rb, rc)
             new_d = where3(do_trans, refr, brdf_dir)
+            # Detached sampling: sample *positions* carry no gradient (the
+            # importance-sampling pdf in the weight does); cutting the
+            # sampler chains (arccos/tan/jitter x bounces) out of the
+            # backward pass is also a large fwd+bwd speedup.
+            if xp.__name__.startswith("jax"):
+                import jax
+
+                new_d = Vec3(
+                    jax.lax.stop_gradient(new_d.x),
+                    jax.lax.stop_gradient(new_d.y),
+                    jax.lax.stop_gradient(new_d.z),
+                )
 
             # ---- flip normal toward the viewer (pathtracing.cl:296-300) ---
             n_sh = where3(normal.dot(-d) <= 0.0, -normal, normal)
@@ -422,6 +479,34 @@ def trace_rays(
             # ---- advance ---------------------------------------------------
             o = where3(live, hit_p, o)
             d = where3(live, new_d, d)
+            return (
+                o, d, color, alive, light_found, light_val, depth_added,
+                final_color, secondary, focus_t, n_path, n_shadow, heat,
+            )
+
+        carry = (
+            o, d, color, alive, light_found, light_val, depth_added,
+            final_color, secondary, focus_t, n_path, n_shadow, heat,
+        )
+        if xp.__name__.startswith("jax"):
+            import jax
+
+            # Scan over bounces (one bounce body traced once) instead of a
+            # Python unroll: ~8x smaller XLA graphs and compile times; the
+            # bounce index is a traced scalar everywhere it is used (RNG
+            # streams, depth-budget compares).
+            carry, _ = jax.lax.scan(
+                lambda c, dep: (bounce_body(dep, c), None),
+                carry,
+                xp.arange(settings.max_total_depth, dtype=xp.int32),
+            )
+        else:
+            for dep in range(settings.max_total_depth):
+                carry = bounce_body(np.int32(dep), carry)
+        (
+            o, d, color, alive, light_found, light_val, depth_added,
+            final_color, secondary, focus_t, n_path, n_shadow, heat,
+        ) = carry
 
         final_color = final_color + where3(light_found, color * light_val, zero3)
 

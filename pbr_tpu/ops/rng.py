@@ -61,9 +61,9 @@ def fold(h, v):
 
 
 def _as_u32(v):
-    """Coerce a Python int to np.uint32; pass arrays/tracers through."""
+    """Coerce a Python/numpy int to np.uint32; pass arrays/tracers through."""
     if isinstance(v, (int, np.integer)):
-        return np.uint32(v & 0xFFFFFFFF)
+        return np.uint32(int(v) & 0xFFFFFFFF)
     return v
 
 
@@ -94,8 +94,10 @@ class PixelRng:
         h = lowbias32(_as_u32(frame_seed))
         self._base = fold(h, _as_u32(pixel_id))
 
-    def u(self, sample: int, bounce: int, stream: int):
-        h = fold(self._base, np.uint32(sample))
-        h = fold(h, np.uint32(bounce))
-        h = fold(h, np.uint32(stream))
+    def u(self, sample, bounce, stream):
+        """``sample``/``bounce``/``stream`` may be Python ints or traced
+        integer scalars (the integrator's scan carries the bounce index)."""
+        h = fold(self._base, _as_u32(sample))
+        h = fold(h, _as_u32(bounce))
+        h = fold(h, _as_u32(stream))
         return (h >> np.uint32(8)).astype(np.float32) * _INV_2_24

@@ -118,6 +118,95 @@ def _bvh_step(xp, o, d, inv_d, bvh: LinearBVH, tris: TrianglesSoA, max_leaf, sta
     return idx, t_best, face_best
 
 
+def _part1by2(xp, x):
+    """Spread 10 bits over 30 (Morton interleave helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _coherence_keys(xp, o: Vec3, d: Vec3, bvh: LinearBVH):
+    """Sort key grouping rays that will traverse similar subtrees:
+    direction octant (3 bits) then a Morton code of the origin quantized
+    into the root AABB. Traversal results are per-ray and order-invariant,
+    so sorting is exact — it only shortens each chunk's divergence."""
+    root_min = Vec3(bvh.bb_min.x[0], bvh.bb_min.y[0], bvh.bb_min.z[0])
+    root_max = Vec3(bvh.bb_max.x[0], bvh.bb_max.y[0], bvh.bb_max.z[0])
+    inv_ext = Vec3(
+        1.0 / xp.maximum(root_max.x - root_min.x, 1e-9),
+        1.0 / xp.maximum(root_max.y - root_min.y, 1e-9),
+        1.0 / xp.maximum(root_max.z - root_min.z, 1e-9),
+    )
+
+    def q(c, mn, inv):
+        return xp.clip(((c - mn) * inv * 1023.0), 0.0, 1023.0).astype(xp.int32)
+
+    morton = (
+        _part1by2(xp, q(o.x, root_min.x, inv_ext.x))
+        | (_part1by2(xp, q(o.y, root_min.y, inv_ext.y)) << 1)
+        | (_part1by2(xp, q(o.z, root_min.z, inv_ext.z)) << 2)
+    )
+    octant = (
+        (d.x < 0).astype(xp.int32)
+        + 2 * (d.y < 0).astype(xp.int32)
+        + 4 * (d.z < 0).astype(xp.int32)
+    )
+    # octant dominates; then locality within the octant (top Morton bits).
+    return (octant << 27) | (morton >> 3)
+
+
+def intersect_bvh_chunked(
+    xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA,
+    max_leaf: int = 2, chunk: int = 8192,
+):
+    """Coherence-sorted, chunked BVH traversal (jax only).
+
+    The vectorized walk is lockstep: the whole batch pays the *longest*
+    ray's node count. Sorting by octant+Morton and mapping the walk over
+    chunks bounds the lockstep to each (coherent) chunk. Results are
+    bitwise identical to the unchunked walk (pure per-ray computation,
+    exact permutation)."""
+    import jax
+    import jax.numpy as jnp
+
+    shape = o.x.shape
+    flat = int(np.prod(shape)) if shape else 1
+    ox, oy, oz = o.x.reshape(-1), o.y.reshape(-1), o.z.reshape(-1)
+    dx, dy, dz = d.x.reshape(-1), d.y.reshape(-1), d.z.reshape(-1)
+    pad = (-flat) % chunk
+    if pad:
+        far = jnp.full((pad,), 1.0e30, dtype=jnp.float32)
+        one = jnp.ones((pad,), dtype=jnp.float32)
+        ox, oy, oz = (jnp.concatenate([a, far]) for a in (ox, oy, oz))
+        dx, dy, dz = (jnp.concatenate([a, one]) for a in (dx, dy, dz))
+    of = Vec3(ox, oy, oz)
+    df = Vec3(dx, dy, dz)
+
+    keys = _coherence_keys(jnp, of, df, bvh)
+    perm = jnp.argsort(keys)
+    take = lambda a: a[perm].reshape(-1, chunk)  # noqa: E731
+
+    def chunk_fn(args):
+        cox, coy, coz, cdx, cdy, cdz = args
+        return intersect_bvh(
+            jnp, Vec3(cox, coy, coz), Vec3(cdx, cdy, cdz), bvh, tris,
+            max_leaf=max_leaf,
+        )
+
+    t_s, f_s = jax.lax.map(
+        chunk_fn, (take(of.x), take(of.y), take(of.z), take(df.x), take(df.y), take(df.z))
+    )
+    t_s = t_s.reshape(-1)
+    f_s = f_s.reshape(-1)
+    inv_perm = jnp.argsort(perm)
+    t = t_s[inv_perm][:flat].reshape(shape)
+    f = f_s[inv_perm][:flat].reshape(shape)
+    return t, f
+
+
 def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA, max_leaf: int = 2):
     """Nearest-hit via the stackless linear BVH. Same contract as
     ``intersect_brute``. ``max_leaf`` must be a static bound ≥ the builder's
@@ -132,11 +221,70 @@ def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA, max_
     if _is_jax(xp):
         import jax
 
-        def cond(state):
-            return xp.any(state[0] < n)
+        # Pack node and triangle records so each traversal step issues two
+        # coherent row-gathers instead of ~15 scalar-array gathers — the
+        # per-step cost is gather-bound, and XLA turns an (N, 8)-row gather
+        # into one contiguous 32-byte load per ray. Packing is traced once
+        # per jit and hoisted out of the frame/scan loops.
+        nodes = xp.concatenate(
+            [
+                xp.stack(
+                    [bvh.bb_min.x, bvh.bb_min.y, bvh.bb_min.z,
+                     bvh.bb_max.x, bvh.bb_max.y, bvh.bb_max.z],
+                    axis=1,
+                ),
+                xp.stack(
+                    [
+                        bvh.leaf_first.astype(xp.float32),
+                        bvh.leaf_count.astype(xp.float32),
+                        bvh.exit.astype(xp.float32),
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=1,
+        )  # (N, 9): bbmin, bbmax, leaf_first, leaf_count, exit (as f32)
+        trisrow = xp.stack(
+            [
+                tris.v0.x, tris.v0.y, tris.v0.z,
+                tris.e1.x, tris.e1.y, tris.e1.z,
+                tris.e2.x, tris.e2.y, tris.e2.z,
+            ],
+            axis=1,
+        )  # (F, 9)
+        nf = int(tris.mtl.shape[0])
 
         def body(state):
-            return _bvh_step(xp, o, d, inv_d, bvh, tris, max_leaf, state)
+            idx, t_best, face_best = state
+            safe = xp.minimum(idx, n - 1)
+            rec = nodes[safe]  # (B, 9) one coherent gather
+            bb_min = Vec3(rec[..., 0], rec[..., 1], rec[..., 2])
+            bb_max = Vec3(rec[..., 3], rec[..., 4], rec[..., 5])
+            leaf_first = rec[..., 6].astype(xp.int32)
+            leaf_count = rec[..., 7].astype(xp.int32)
+            exit_i = rec[..., 8].astype(xp.int32)
+
+            t_near, t_far, hit_box = slab_box(xp, o, inv_d, bb_min, bb_max)
+            hit_box = hit_box & (t_far > np.float32(EPSILON5)) & (t_best > t_near)
+
+            do_leaf = hit_box & (leaf_first >= 0)
+            for k in range(max_leaf):
+                fidx = xp.clip(leaf_first + k, 0, nf - 1)
+                tri = trisrow[fidx]  # (B, 9) one coherent gather
+                v0 = Vec3(tri[..., 0], tri[..., 1], tri[..., 2])
+                e1 = Vec3(tri[..., 3], tri[..., 4], tri[..., 5])
+                e2 = Vec3(tri[..., 6], tri[..., 7], tri[..., 8])
+                t, valid = moller_trumbore(xp, o, d, v0, e1, e2)
+                better = do_leaf & (k < leaf_count) & valid & (t < t_best)
+                t_best = xp.where(better, t, t_best)
+                face_best = xp.where(better, fidx.astype(xp.int32), face_best)
+
+            nxt = xp.where(hit_box, safe + 1, exit_i)
+            idx = xp.where(idx >= n, n, nxt).astype(xp.int32)
+            return idx, t_best, face_best
+
+        def cond(state):
+            return xp.any(state[0] < n)
 
         idx, t_best, face_best = jax.lax.while_loop(cond, body, (idx0, t0, f0))
         return t_best, face_best
@@ -194,7 +342,12 @@ def intersect_scene(
         else:
             mode = "brute"
     if mode == "bvh":
-        _, face = intersect_bvh(xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf)
+        if _is_jax(xp) and o.x.size >= 16384:
+            _, face = intersect_bvh_chunked(
+                xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf
+            )
+        else:
+            _, face = intersect_bvh(xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf)
     elif mode == "gemm":
         from pbr_tpu.ops.gemm_intersect import intersect_gemm
 
@@ -206,11 +359,20 @@ def intersect_scene(
     else:
         _, face = intersect_brute(xp, o_s, d_s, scene.tris)
 
-    # Differentiable re-evaluation of the winner.
+    # Differentiable re-evaluation of the winner. Geometry is detached
+    # (gradient targets are materials/lights/camera — BASELINE.json; a
+    # gather's transpose is a giant scatter-add, so detaching the triangle
+    # arrays also keeps the backward pass cheap); o and d stay live, which
+    # is where camera gradients flow.
     safe = xp.maximum(face, 0)
-    v0 = gather_vec3(scene.tris.v0, safe)
-    e1 = gather_vec3(scene.tris.e1, safe)
-    e2 = gather_vec3(scene.tris.e2, safe)
+    tris_s = scene.tris
+    if _is_jax(xp):
+        import jax
+
+        tris_s = jax.tree_util.tree_map(jax.lax.stop_gradient, tris_s)
+    v0 = gather_vec3(tris_s.v0, safe)
+    e1 = gather_vec3(tris_s.e1, safe)
+    e2 = gather_vec3(tris_s.e2, safe)
     t_re, _ = moller_trumbore(xp, o, d, v0, e1, e2)
     t = xp.where(face >= 0, t_re, INF)
     return t, face
