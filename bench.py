@@ -61,6 +61,7 @@ def main() -> None:
         shadow_rays=1,
         anti_aliasing=0.7,
         sky_light=(0.85, 0.9, 1.0),
+        bounce_loop="unroll",  # production: runtime over compile time
     )
 
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)
@@ -141,7 +142,7 @@ def main() -> None:
 
     t0 = time.time()
     out = step(jscene, jcam, ids, jnp.uint32(1), settings)
-    jax.block_until_ready(out)
+    _sync = float(np.asarray(out if not isinstance(out, tuple) else out[0]))
     compile_s = time.time() - t0
     print(f"[bench] compile+first step: {compile_s:.1f}s", file=sys.stderr)
 
@@ -149,7 +150,9 @@ def main() -> None:
     t0 = time.time()
     for i in range(iters):
         out = step(jscene, jcam, ids, jnp.uint32(i + 2), settings)
-    jax.block_until_ready(out)
+    # Force a host transfer: block_until_ready does not reliably
+    # synchronize through tunneled device backends.
+    _sync = float(np.asarray(out if not isinstance(out, tuple) else out[0]))
     dt = (time.time() - t0) / (iters * K)
     rays_per_s = rays_per_frame / dt
     print(

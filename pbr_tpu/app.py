@@ -123,8 +123,21 @@ def cmd_render(args) -> None:
             )
 
     if args.out:
-        with timers.span("write png"):
-            save_render(args.out, pt.image(), exposure=args.exposure)
+        img = pt.image()
+        if args.bvh_overlay or args.lights_overlay:
+            from pbr_tpu.accel.visualize import overlay_bvh, overlay_lights
+            from pbr_tpu.utils.image import tonemap
+
+            img = np.clip(img * args.exposure, 0.0, 1.0)
+            if args.bvh_overlay and scene.bvh is not None:
+                img = overlay_bvh(img, scene, cam)
+            if args.lights_overlay and scene.lights.count:
+                img = overlay_lights(img, scene, cam)
+            with timers.span("write png"):
+                save_render(args.out, img, exposure=1.0)
+        else:
+            with timers.span("write png"):
+                save_render(args.out, img, exposure=args.exposure)
         Logger.info(f"[app] Wrote {args.out}")
     if args.depth_out:
         from pbr_tpu.utils.image import tonemap, write_png
@@ -255,6 +268,10 @@ def main(argv=None) -> None:
     r.add_argument("--out", default="render.png")
     r.add_argument("--depth-out", default=None)
     r.add_argument("--heatmap", default=None)
+    r.add_argument("--bvh-overlay", action="store_true", dest="bvh_overlay",
+                   help="draw BVH leaf wireframes (View menu toggle analog)")
+    r.add_argument("--lights-overlay", action="store_true", dest="lights_overlay",
+                   help="draw light-position boxes")
     r.add_argument("--exposure", type=float, default=0.4)
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--stats", action="store_true")

@@ -286,7 +286,27 @@ def trace_rays(
             miss = alive & ~xp.isfinite(t)
             is_orb = miss & (orb_idx >= 0)
             orb_safe = xp.maximum(orb_idx, 0)
-            orb_rgb = gather_vec3(lights.rgb, orb_safe) if num_lights else zero3
+            # Per-light scalar broadcast select, NOT a B-lane gather: the
+            # gather's transpose is a million-lane scatter-add into the
+            # light rgb arrays, which dominated the whole backward pass
+            # (~250 ms/frame at 1024²); the select transposes to masked
+            # sum-reduces. L is small (1-2 lights in every reference scene).
+            if num_lights:
+                ones_b = xp.ones_like(px)
+                orb_rgb = zero3
+                for li in range(num_lights):
+                    sel = orb_safe == li
+                    orb_rgb = where3(
+                        sel,
+                        Vec3(
+                            lights.rgb.x[li] * ones_b,
+                            lights.rgb.y[li] * ones_b,
+                            lights.rgb.z[li] * ones_b,
+                        ),
+                        orb_rgb,
+                    )
+            else:
+                orb_rgb = zero3
             sky_b = Vec3(sky.x + 0.0 * px, sky.y + 0.0 * px, sky.z + 0.0 * px)
             new_light = where3(is_orb, orb_rgb, sky_b)
             light_val = where3(miss, new_light, light_val)
@@ -407,7 +427,15 @@ def trace_rays(
                     ok = nee_ok & (xp.abs(pdf_l) > F32(1e-5))
                     pdf_ls = _where(xp, ok, pdf_l, F32(1.0))
                     w_l = brdf_l * xp.maximum(n_sh.dot(l_dir), 0.0) / pdf_ls
-                    l_rgb = gather_vec3(lights.rgb, xp.zeros_like(secondary))
+                    # Scalar index + broadcast (NOT a B-lane gather of
+                    # index 0: its transpose is a scatter into one slot;
+                    # the broadcast transposes to a plain sum-reduce).
+                    ones_b = xp.ones_like(px)
+                    l_rgb = Vec3(
+                        lights.rgb.x[0] * ones_b,
+                        lights.rgb.y[0] * ones_b,
+                        lights.rgb.z[0] * ones_b,
+                    )
                     contrib = (
                         color
                         * l_rgb
@@ -440,7 +468,15 @@ def trace_rays(
                         xp.clip(bc.y, 0.0, 1.0),
                         xp.clip(bc.z, 0.0, 1.0),
                     )
-                    l_rgb = gather_vec3(lights.rgb, xp.zeros_like(secondary))
+                    # Scalar index + broadcast (NOT a B-lane gather of
+                    # index 0: its transpose is a scatter into one slot;
+                    # the broadcast transposes to a plain sum-reduce).
+                    ones_b = xp.ones_like(px)
+                    l_rgb = Vec3(
+                        lights.rgb.x[0] * ones_b,
+                        lights.rgb.y[0] * ones_b,
+                        lights.rgb.z[0] * ones_b,
+                    )
                     contrib = bc * l_rgb * m_d + (1.0 - m_d)
                     final_color = final_color + _sanitize3(xp, where3(ok, contrib, zero3))
                     secondary = secondary + ok.astype(xp.int32)
@@ -488,13 +524,14 @@ def trace_rays(
             o, d, color, alive, light_found, light_val, depth_added,
             final_color, secondary, focus_t, n_path, n_shadow, heat,
         )
-        if xp.__name__.startswith("jax"):
+        if xp.__name__.startswith("jax") and settings.bounce_loop == "scan":
             import jax
 
             # Scan over bounces (one bounce body traced once) instead of a
             # Python unroll: ~8x smaller XLA graphs and compile times; the
             # bounce index is a traced scalar everywhere it is used (RNG
-            # streams, depth-budget compares).
+            # streams, depth-budget compares). 'unroll' trades compile time
+            # for ~1.8x faster fwd+bwd (cross-bounce XLA optimization).
             carry, _ = jax.lax.scan(
                 lambda c, dep: (bounce_body(dep, c), None),
                 carry,
