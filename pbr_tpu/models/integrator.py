@@ -27,6 +27,7 @@ Estimator semantics faithfully match the reference, including its quirks:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -71,6 +72,7 @@ class TraceResult(NamedTuple):
     n_path_rays: object = None  # () total path segments traced (live lanes)
     n_shadow_rays: object = None  # () total NEE shadow rays traced
     heat_bounces: object = None  # (B,) per-pixel live-bounce count (debug heatmap)
+    n_dropped: object = None  # () lanes terminated by compaction-capacity overflow
 
 
 def _where(xp, m, a, b):
@@ -122,6 +124,60 @@ def _gather_materials(xp, mats, midx):
         vals[0], vals[1], vals[2], vals[3], vals[4], vals[5], vals[6], vals[7],
         Vec3(vals[8], vals[9], vals[10]), Vec3(vals[11], vals[12], vals[13]),
     )
+
+
+def _compact_indices(xp, alive, cap: int):
+    """Index plumbing for live-lane compaction.
+
+    Returns ``(src, slot, n_live_capped, n_drop)``:
+
+    - ``src`` (cap,): original index of the j-th live lane (lane order
+      preserved — a stable partition), 0-filled past the live count;
+    - ``slot`` (B,): each original lane's compact slot, or ``cap`` when the
+      lane is dead or overflowed capacity (out-of-range sentinel);
+    - ``n_live_capped`` (): live lanes that got a slot;
+    - ``n_drop`` (): live lanes terminated because capacity overflowed.
+
+    One cumsum + one scatter; everything downstream is gathers.
+    """
+    b = alive.shape[0]
+    pos = xp.cumsum(alive.astype(xp.int32)) - 1
+    ok = alive & (pos < cap)
+    slot = xp.where(ok, pos, cap).astype(xp.int32)
+    lane = xp.arange(b, dtype=xp.int32)
+    if xp.__name__.startswith("jax"):
+        src = xp.zeros((cap,), dtype=xp.int32).at[slot].set(lane, mode="drop")
+    else:
+        src = np.zeros((cap,), dtype=np.int32)
+        m = np.asarray(ok)
+        src[np.asarray(pos)[m]] = lane[m]
+    n_live = xp.sum(alive.astype(xp.int32))
+    n_ok = xp.minimum(n_live, cap)
+    return src, slot, n_ok, n_live - n_ok
+
+
+def _run_phase(xp, settings, body, carry, lo: int, hi: int):
+    """Run bounces [lo, hi) of ``body`` over ``carry``.
+
+    jax + 'scan': lax.scan over the bounce index (one traced body, ~8x
+    faster compiles); otherwise a Python unroll ('unroll' trades compile
+    time for ~1.8x faster fwd+bwd via cross-bounce XLA optimization).
+    Numerics are identical.
+    """
+    if lo >= hi:
+        return carry
+    if xp.__name__.startswith("jax") and settings.bounce_loop == "scan":
+        import jax
+
+        carry, _ = jax.lax.scan(
+            lambda c, dep: (body(dep, c), None),
+            carry,
+            xp.arange(lo, hi, dtype=xp.int32),
+        )
+    else:
+        for dep in range(lo, hi):
+            carry = body(np.int32(dep), carry)
+    return carry
 
 
 def _broadcast_cam(cam: CameraState, like):
@@ -244,6 +300,26 @@ def trace_rays(
     nee_enabled = bool(settings.shadow_rays) and num_lights > 0
     sky = Vec3(F32(settings.sky_light[0]), F32(settings.sky_light[1]), F32(settings.sky_light[2]))
 
+    # Live-lane compaction plan (see RenderSettings.compact_schedule): the
+    # reference's dynamic loop bound means that past max_depth only
+    # *extended* paths (specular/transparent hits) survive — a few percent
+    # of the batch — yet fixed shapes make every bounce pay full width.
+    # Compacting the survivors into successively smaller buffers keeps the
+    # math bitwise identical (pure permutation; RNG is pixel-keyed) while
+    # the late bounces run at a fraction of the cost.
+    batch = int(np.prod(px.shape)) if px.shape else 1
+    schedule = []  # validated [(bounce, capacity)], strictly shrinking
+    prev_cap = batch
+    prev_kb = 0
+    for kb, frac in sorted(settings.compact_schedule):
+        cap = -(-int(batch * frac) // 128) * 128
+        if prev_kb < kb < settings.max_total_depth and 0 < cap < prev_cap:
+            schedule.append((kb, cap))
+            prev_cap, prev_kb = cap, kb
+    n_drop_total = (
+        xp.sum(xp.zeros_like(base)).astype(xp.int32) if (with_stats and schedule) else None
+    )
+
     for s in range(settings.samples):
         o, d = _gen_rays(xp, cam, settings, px, py, rng, s, prev_t)
         color = Vec3(xp.full_like(base, 1.0), xp.full_like(base, 1.0), xp.full_like(base, 1.0))
@@ -252,7 +328,10 @@ def trace_rays(
         alive = xp.full_like(base, True, dtype=bool)
         depth_added = xp.zeros_like(base, dtype=xp.int32)
 
-        def bounce_body(depth, carry):
+        # px/rng/zero3 are explicit parameters (bound with partial) so the
+        # same body runs full-width and, after compaction, on the gathered
+        # sub-batch — the only difference is which lanes it sees.
+        def bounce_body(px, rng, zero3, depth, carry):
             (
                 o, d, color, alive, light_found, light_val, depth_added,
                 final_color, secondary, focus_t, n_path, n_shadow, heat,
@@ -520,32 +599,70 @@ def trace_rays(
                 final_color, secondary, focus_t, n_path, n_shadow, heat,
             )
 
+        # Stage 0 = the full batch with the real accumulators; each
+        # schedule entry ends the current stage (folding the emission of
+        # lanes that died there — a lane with light_found is dead, since
+        # alive &= ~miss), gathers the survivors into the next, smaller
+        # stage with fresh accumulators, and records the slot mapping so
+        # deeper contributions fold back out below.
         carry = (
             o, d, color, alive, light_found, light_val, depth_added,
             final_color, secondary, focus_t, n_path, n_shadow, heat,
         )
-        if xp.__name__.startswith("jax") and settings.bounce_loop == "scan":
-            import jax
-
-            # Scan over bounces (one bounce body traced once) instead of a
-            # Python unroll: ~8x smaller XLA graphs and compile times; the
-            # bounce index is a traced scalar everywhere it is used (RNG
-            # streams, depth-budget compares). 'unroll' trades compile time
-            # for ~1.8x faster fwd+bwd (cross-bounce XLA optimization).
-            carry, _ = jax.lax.scan(
-                lambda c, dep: (bounce_body(dep, c), None),
-                carry,
-                xp.arange(settings.max_total_depth, dtype=xp.int32),
+        stage_px, stage_rng, stage_zero3 = px, rng, zero3
+        folds = []  # per ended stage: (slot, cap, fc, sec, heat, zero3)
+        lo = 0
+        for kb, cap in schedule:
+            body = functools.partial(bounce_body, stage_px, stage_rng, stage_zero3)
+            carry = _run_phase(xp, settings, body, carry, lo, kb)
+            (
+                o, d, color, alive, light_found, light_val, depth_added,
+                fc_s, sec_s, foc_s, n_path, n_shadow, heat_s,
+            ) = carry
+            fc_s = fc_s + where3(light_found, color * light_val, stage_zero3)
+            if lo == 0:
+                focus_t = foc_s  # only the full-width stage touches focus
+            src, slot, n_ok, n_drop = _compact_indices(xp, alive, cap)
+            if with_stats:
+                n_drop_total = n_drop_total + n_drop
+            folds.append((slot, cap, fc_s, sec_s, heat_s, stage_zero3))
+            g3 = lambda v: Vec3(v.x[src], v.y[src], v.z[src])  # noqa: E731
+            stage_px = stage_px[src]
+            stage_rng = stage_rng.gather(src)
+            stage_zero3 = Vec3(
+                xp.zeros_like(stage_px), xp.zeros_like(stage_px), xp.zeros_like(stage_px)
             )
-        else:
-            for dep in range(settings.max_total_depth):
-                carry = bounce_body(np.int32(dep), carry)
+            alive_s = xp.arange(cap, dtype=xp.int32) < n_ok
+            carry = (
+                g3(o), g3(d), g3(color), alive_s,
+                xp.zeros_like(alive_s), stage_zero3, depth_added[src],
+                stage_zero3, xp.zeros_like(stage_px, dtype=xp.int32),
+                xp.zeros_like(stage_px), n_path, n_shadow,
+                xp.zeros_like(stage_px, dtype=xp.int32) if with_stats else None,
+            )
+            lo = kb
+        body = functools.partial(bounce_body, stage_px, stage_rng, stage_zero3)
+        carry = _run_phase(xp, settings, body, carry, lo, settings.max_total_depth)
         (
-            o, d, color, alive, light_found, light_val, depth_added,
-            final_color, secondary, focus_t, n_path, n_shadow, heat,
+            _, _, color, _, light_found, light_val, _,
+            fc_s, sec_s, foc_s, n_path, n_shadow, heat_s,
         ) = carry
-
-        final_color = final_color + where3(light_found, color * light_val, zero3)
+        fc_s = fc_s + where3(light_found, color * light_val, stage_zero3)
+        if not schedule:
+            focus_t = foc_s
+        # Fold contributions back out through the stage mappings.
+        for slot, cap, fc_prev, sec_prev, heat_prev, zero3_prev in reversed(folds):
+            ok_lane = slot < cap
+            sc = xp.minimum(slot, cap - 1)
+            fc_s = fc_prev + where3(
+                ok_lane, Vec3(fc_s.x[sc], fc_s.y[sc], fc_s.z[sc]), zero3_prev
+            )
+            sec_s = sec_prev + xp.where(ok_lane, sec_s[sc], np.int32(0))
+            if with_stats:
+                heat_s = heat_prev + xp.where(ok_lane, heat_s[sc], np.int32(0))
+        final_color = fc_s
+        secondary = sec_s
+        heat = heat_s
 
     final_color = final_color / secondary.astype(xp.float32)
     if settings.samples > 1:
@@ -556,4 +673,5 @@ def trace_rays(
         n_path_rays=n_path,
         n_shadow_rays=n_shadow,
         heat_bounces=heat,
+        n_dropped=n_drop_total,
     )

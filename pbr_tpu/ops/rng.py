@@ -101,3 +101,14 @@ class PixelRng:
         h = fold(h, _as_u32(bounce))
         h = fold(h, _as_u32(stream))
         return (h >> np.uint32(8)).astype(np.float32) * _INV_2_24
+
+    def gather(self, idx):
+        """A PixelRng for the sub-batch ``pixel_id[idx]``.
+
+        Gathers the pre-folded per-pixel state, so the sub-batch draws the
+        *same* uniforms those pixels would draw at full width — what makes
+        live-lane compaction in the integrator bitwise exact.
+        """
+        r = object.__new__(PixelRng)
+        r._base = self._base[idx]
+        return r

@@ -1,0 +1,97 @@
+"""Live-lane compaction (integrator compact_schedule) correctness.
+
+Compaction is a pure permutation of the extension-phase lanes plus a
+capacity policy; with enough capacity the image must be *bitwise* identical
+to the full-width render, for both backends, because the RNG is
+pixel-keyed (rng.gather) and every per-lane operation is unchanged.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pbr_tpu.models.integrator import trace_rays
+from pbr_tpu.scene.build import scene_from_text
+from pbr_tpu.scene.camera import make_camera_state
+from pbr_tpu.scene.procedural import cornell_box
+from pbr_tpu.utils.config import BRDF_SCHLICK, BRDF_SHIRLEY_ASHIKHMIN, RenderSettings
+
+
+SIZE = 24
+
+
+def _render(xp, scene, cam, settings):
+    ids = xp.arange(SIZE * SIZE, dtype=xp.int32)
+    if xp is jnp:
+        fn = jax.jit(
+            lambda sc, c, i: trace_rays(
+                xp, sc, c, settings, i, 7, with_stats=True
+            ),
+            static_argnums=(),
+        )
+        res = fn(scene, cam, ids)
+    else:
+        res = trace_rays(xp, scene, cam, settings, ids, 7, with_stats=True)
+    img = np.stack(
+        [np.asarray(res.color.x), np.asarray(res.color.y), np.asarray(res.color.z)]
+    )
+    return img, res
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    obj, mtl, li = cornell_box()
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=False)
+    cam = make_camera_state(eye=(0.0, 1.0, 3.2), center_dir=(0.0, 0.0, 1.0))
+    return scene, cam
+
+
+@pytest.mark.parametrize("brdf", [BRDF_SCHLICK, BRDF_SHIRLEY_ASHIKHMIN])
+@pytest.mark.parametrize("loop", ["scan", "unroll"])
+def test_compact_bitwise_identical_jax(cornell, brdf, loop):
+    scene, cam = cornell
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    base = RenderSettings(
+        width=SIZE, height=SIZE, samples=1, max_depth=3, max_added_depth=5,
+        shadow_rays=1, anti_aliasing=0.7, brdf=brdf, bounce_loop=loop,
+        sky_light=(0.8, 0.9, 1.0),
+    )
+    img_full, _ = _render(jnp, jscene, jcam, base)
+    img_cmp, res = _render(
+        jnp, jscene, jcam, base.replace(compact_schedule=((3, 0.5), (4, 0.25)))
+    )
+    assert int(res.n_dropped) == 0
+    np.testing.assert_array_equal(img_cmp, img_full)
+
+
+def test_compact_bitwise_identical_numpy(cornell):
+    scene, cam = cornell
+    base = RenderSettings(
+        width=SIZE, height=SIZE, samples=2, max_depth=3, max_added_depth=5,
+        shadow_rays=1, anti_aliasing=0.7, brdf=BRDF_SCHLICK,
+        sky_light=(0.8, 0.9, 1.0),
+    )
+    img_full, _ = _render(np, scene, cam, base)
+    img_cmp, res = _render(
+        np, scene, cam, base.replace(compact_schedule=((3, 0.5), (4, 0.25)))
+    )
+    assert int(res.n_dropped) == 0
+    np.testing.assert_array_equal(img_cmp, img_full)
+
+
+def test_compact_overflow_drops_counted(cornell):
+    """With a capacity far below the live count, overflow lanes terminate
+    early: the render stays finite and the drop counter reports them."""
+    scene, cam = cornell
+    settings = RenderSettings(
+        width=SIZE, height=SIZE, samples=1, max_depth=3, max_added_depth=5,
+        shadow_rays=1, brdf=BRDF_SCHLICK, sky_light=(0.8, 0.9, 1.0),
+        # compact at bounce 1, where nearly the whole batch is alive.
+        compact_schedule=((1, 0.25),),
+    )
+    img, res = _render(np, scene, cam, settings)
+    assert np.all(np.isfinite(img))
+    assert int(res.n_dropped) > 0
