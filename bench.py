@@ -40,8 +40,11 @@ def main() -> None:
     )
     ap.add_argument(
         "--compact",
-        default="3:0.25,4:0.0625",
-        help="compaction schedule bounce:frac[,bounce:frac...]",
+        default="4:0.75,5:0.12",
+        help="compaction schedule bounce:frac[,bounce:frac...] (row fracs)",
+    )
+    ap.add_argument(
+        "--block", type=int, default=128, help="compaction row granularity (lanes)"
     )
     args = ap.parse_args()
 
@@ -72,17 +75,22 @@ def main() -> None:
         anti_aliasing=0.7,
         sky_light=(0.85, 0.9, 1.0),
         bounce_loop="unroll",  # production: runtime over compile time
-        # Live-lane compaction: the live fraction on this scene collapses
-        # to ~16% at bounce 3 (only extended paths survive max_depth) and
-        # ~2% at bounce 4 (measured via heat_bounces), so the default
-        # schedule runs bounces 3 at 1/4 width and 4..7 at 1/16 — ~2.3x
-        # cheaper, exactly (tests/test_compact.py; drops verified 0 below).
+        # Row-granular live compaction: lane-level compaction is a loss on
+        # TPU (per-lane gathers serialize — measured ~100 ms/point at 1M
+        # lanes), so compaction works on rows of --block consecutive lanes
+        # (contiguous DMA gathers). Extended paths are spatially scattered,
+        # so rows stay occupied until the extension budget drains: measured
+        # live-ROW fractions on this scene (block=128) are ~97% at bounce 3,
+        # ~68% at bounce 4, ~5% at bounce 5 — the default schedule trims
+        # bounce 4 to 3/4 width and runs 5..7 at ~1/8, ~1.4x cheaper than
+        # full width, exactly (tests/test_compact.py; drops verified 0).
         compact_schedule=()
         if args.no_compact
         else tuple(
             (int(p.split(":")[0]), float(p.split(":")[1]))
             for p in args.compact.split(",")
         ),
+        compact_block=args.block,
     )
 
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)

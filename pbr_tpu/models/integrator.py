@@ -126,34 +126,46 @@ def _gather_materials(xp, mats, midx):
     )
 
 
-def _compact_indices(xp, alive, cap: int):
-    """Index plumbing for live-lane compaction.
+def _compact_rows(xp, alive, block: int, cap: int):
+    """Index plumbing for row-granular live compaction.
 
-    Returns ``(src, slot, n_live_capped, n_drop)``:
+    Lanes are grouped into rows of ``block`` consecutive lanes; a row is
+    live iff ANY of its lanes is (see RenderSettings.compact_block for why
+    rows, not lanes: row gathers lower to contiguous DMA copies on TPU,
+    lane gathers serialize). Returns ``(src, slot, n_ok, n_drop)`` over
+    ROWS:
 
-    - ``src`` (cap,): original index of the j-th live lane (lane order
+    - ``src`` (cap,): original row index of the j-th live row (row order
       preserved — a stable partition), 0-filled past the live count;
-    - ``slot`` (B,): each original lane's compact slot, or ``cap`` when the
-      lane is dead or overflowed capacity (out-of-range sentinel);
-    - ``n_live_capped`` (): live lanes that got a slot;
-    - ``n_drop`` (): live lanes terminated because capacity overflowed.
+    - ``slot`` (R,): each original row's compact slot, or ``cap`` when the
+      row is dead or overflowed capacity (out-of-range sentinel);
+    - ``n_ok`` (): live rows that got a slot;
+    - ``n_drop`` (): live LANES terminated because row capacity overflowed.
 
-    One cumsum + one scatter; everything downstream is gathers.
+    One tiny (R,) cumsum + scatter; everything downstream is row gathers.
     """
-    b = alive.shape[0]
-    pos = xp.cumsum(alive.astype(xp.int32)) - 1
-    ok = alive & (pos < cap)
+    r = alive.shape[0] // block
+    a2 = alive.reshape(r, block)
+    row_live = xp.any(a2, axis=1)
+    pos = xp.cumsum(row_live.astype(xp.int32)) - 1
+    ok = row_live & (pos < cap)
     slot = xp.where(ok, pos, cap).astype(xp.int32)
-    lane = xp.arange(b, dtype=xp.int32)
+    ridx = xp.arange(r, dtype=xp.int32)
     if xp.__name__.startswith("jax"):
-        src = xp.zeros((cap,), dtype=xp.int32).at[slot].set(lane, mode="drop")
+        src = xp.zeros((cap,), dtype=xp.int32).at[slot].set(ridx, mode="drop")
     else:
         src = np.zeros((cap,), dtype=np.int32)
         m = np.asarray(ok)
-        src[np.asarray(pos)[m]] = lane[m]
-    n_live = xp.sum(alive.astype(xp.int32))
+        src[np.asarray(pos)[m]] = ridx[m]
+    n_live = xp.sum(row_live.astype(xp.int32))
     n_ok = xp.minimum(n_live, cap)
-    return src, slot, n_ok, n_live - n_ok
+    n_drop = xp.sum(xp.where(row_live & ~ok, xp.sum(a2.astype(xp.int32), axis=1), 0))
+    return src, slot, n_ok, n_drop
+
+
+def _take_rows(xp, v, src, block: int):
+    """Gather rows of ``block`` consecutive lanes: (R*block,) -> (cap*block,)."""
+    return v.reshape(-1, block)[src].reshape(-1)
 
 
 def _run_phase(xp, settings, body, carry, lo: int, hi: int):
@@ -300,19 +312,25 @@ def trace_rays(
     nee_enabled = bool(settings.shadow_rays) and num_lights > 0
     sky = Vec3(F32(settings.sky_light[0]), F32(settings.sky_light[1]), F32(settings.sky_light[2]))
 
-    # Live-lane compaction plan (see RenderSettings.compact_schedule): the
+    # Live-path compaction plan (see RenderSettings.compact_schedule): the
     # reference's dynamic loop bound means that past max_depth only
     # *extended* paths (specular/transparent hits) survive — a few percent
     # of the batch — yet fixed shapes make every bounce pay full width.
-    # Compacting the survivors into successively smaller buffers keeps the
-    # math bitwise identical (pure permutation; RNG is pixel-keyed) while
-    # the late bounces run at a fraction of the cost.
+    # Compacting the surviving ROWS (compact_block consecutive lanes, so
+    # every gather is a contiguous DMA copy — per-lane gathers serialize on
+    # TPU) into successively smaller buffers keeps the math bitwise
+    # identical (pure permutation; RNG is pixel-keyed) while the late
+    # bounces run at a fraction of the cost.
     batch = int(np.prod(px.shape)) if px.shape else 1
-    schedule = []  # validated [(bounce, capacity)], strictly shrinking
-    prev_cap = batch
+    block = max(1, int(settings.compact_block))
+    while block > 1 and batch % block:
+        block //= 2
+    rows_total = batch // block
+    schedule = []  # validated [(bounce, row capacity)], strictly shrinking
+    prev_cap = rows_total
     prev_kb = 0
     for kb, frac in sorted(settings.compact_schedule):
-        cap = -(-int(batch * frac) // 128) * 128
+        cap = max(1, int(np.ceil(rows_total * frac)))
         if prev_kb < kb < settings.max_total_depth and 0 < cap < prev_cap:
             schedule.append((kb, cap))
             prev_cap, prev_kb = cap, kb
@@ -622,20 +640,25 @@ def trace_rays(
             fc_s = fc_s + where3(light_found, color * light_val, stage_zero3)
             if lo == 0:
                 focus_t = foc_s  # only the full-width stage touches focus
-            src, slot, n_ok, n_drop = _compact_indices(xp, alive, cap)
+            src, slot, n_ok, n_drop = _compact_rows(xp, alive, block, cap)
             if with_stats:
                 n_drop_total = n_drop_total + n_drop
             folds.append((slot, cap, fc_s, sec_s, heat_s, stage_zero3))
-            g3 = lambda v: Vec3(v.x[src], v.y[src], v.z[src])  # noqa: E731
-            stage_px = stage_px[src]
-            stage_rng = stage_rng.gather(src)
+            tr = lambda v: _take_rows(xp, v, src, block)  # noqa: E731
+            g3 = lambda v: Vec3(tr(v.x), tr(v.y), tr(v.z))  # noqa: E731
+            stage_px = tr(stage_px)
+            stage_rng = stage_rng.gather_rows(src, block)
             stage_zero3 = Vec3(
                 xp.zeros_like(stage_px), xp.zeros_like(stage_px), xp.zeros_like(stage_px)
             )
-            alive_s = xp.arange(cap, dtype=xp.int32) < n_ok
+            # Rows past the live count hold row 0's data — mask them dead.
+            valid_row = xp.arange(cap, dtype=xp.int32) < n_ok
+            alive_s = tr(alive) & xp.broadcast_to(
+                valid_row[:, None], (cap, block)
+            ).reshape(-1)
             carry = (
                 g3(o), g3(d), g3(color), alive_s,
-                xp.zeros_like(alive_s), stage_zero3, depth_added[src],
+                xp.zeros_like(alive_s), stage_zero3, tr(depth_added),
                 stage_zero3, xp.zeros_like(stage_px, dtype=xp.int32),
                 xp.zeros_like(stage_px), n_path, n_shadow,
                 xp.zeros_like(stage_px, dtype=xp.int32) if with_stats else None,
@@ -650,16 +673,20 @@ def trace_rays(
         fc_s = fc_s + where3(light_found, color * light_val, stage_zero3)
         if not schedule:
             focus_t = foc_s
-        # Fold contributions back out through the stage mappings.
+        # Fold contributions back out through the stage row mappings.
         for slot, cap, fc_prev, sec_prev, heat_prev, zero3_prev in reversed(folds):
-            ok_lane = slot < cap
+            ok_row = slot < cap  # (R,) rows of the outer stage
             sc = xp.minimum(slot, cap - 1)
+            tk = lambda v: _take_rows(xp, v, sc, block)  # noqa: E731
+            ok_lane = xp.broadcast_to(
+                ok_row[:, None], (ok_row.shape[0], block)
+            ).reshape(-1)
             fc_s = fc_prev + where3(
-                ok_lane, Vec3(fc_s.x[sc], fc_s.y[sc], fc_s.z[sc]), zero3_prev
+                ok_lane, Vec3(tk(fc_s.x), tk(fc_s.y), tk(fc_s.z)), zero3_prev
             )
-            sec_s = sec_prev + xp.where(ok_lane, sec_s[sc], np.int32(0))
+            sec_s = sec_prev + xp.where(ok_lane, tk(sec_s), np.int32(0))
             if with_stats:
-                heat_s = heat_prev + xp.where(ok_lane, heat_s[sc], np.int32(0))
+                heat_s = heat_prev + xp.where(ok_lane, tk(heat_s), np.int32(0))
         final_color = fc_s
         secondary = sec_s
         heat = heat_s

@@ -112,3 +112,12 @@ class PixelRng:
         r = object.__new__(PixelRng)
         r._base = self._base[idx]
         return r
+
+    def gather_rows(self, src, block: int):
+        """A PixelRng for a row-compacted sub-batch (integrator
+        ``_compact_rows``): rows of ``block`` consecutive lanes gathered by
+        row index. Same pre-folded state, so the sub-batch draws the same
+        uniforms those pixels would draw at full width."""
+        r = object.__new__(PixelRng)
+        r._base = self._base.reshape(-1, block)[src].reshape(-1)
+        return r

@@ -81,20 +81,29 @@ class RenderSettings:
     # bounces (~8x faster compiles), 'unroll' = Python unroll (~1.8x faster
     # runtime, XLA optimizes across bounces). Numerics are identical.
     bounce_loop: str = "scan"
-    # Live-lane compaction schedule: ((bounce, frac), ...) — at each listed
-    # bounce index, gather the still-live lanes into a buffer of
-    # ``frac * batch`` lanes (frac is relative to the ORIGINAL batch) and
-    # run the following bounces at that width. The live fraction collapses
-    # once the dynamic depth bound kicks in (only *extended* paths survive
-    # past max_depth — integrator line "(depth+1) < max_depth +
-    # depth_added"), so e.g. ((3, 0.25), (4, 0.0625)) cuts the Cornell
-    # fwd+bwd cost ~2.3x. A pure permutation (RNG is pixel-keyed): every
+    # Live-path compaction schedule: ((bounce, frac), ...) — at each listed
+    # bounce index, gather the rows (groups of ``compact_block`` consecutive
+    # lanes) that still contain live paths into a buffer of ``frac * batch``
+    # lanes and run the following bounces at that width. The live fraction
+    # collapses once the dynamic depth bound kicks in (only *extended* paths
+    # survive past max_depth — integrator line "(depth+1) < max_depth +
+    # depth_added"). A pure permutation (RNG is pixel-keyed): every
     # per-lane value is identical; the only theoretical deviation is float
     # summation order for a lane receiving 2+ NEE contributions after a
     # compaction point (ULP-level; bitwise-equal on the test scenes).
-    # Capacity overflow terminates the excess lanes early (counted by the
-    # n_dropped stat). () disables.
+    # Capacity overflow terminates the excess rows' live lanes early
+    # (counted by the n_dropped stat). () disables.
     compact_schedule: Tuple[Tuple[int, float], ...] = ()
+    # Compaction granularity in lanes. Rows of this many consecutive lanes
+    # are kept or dropped as a unit: a row gather from (R, block) lowers to
+    # contiguous per-row copies on TPU, whereas a lane-granular
+    # gather/scatter serializes per element (measured ~100 ms per
+    # compaction point at 1M lanes — slower than just running the dead
+    # lanes full-width). Image-space coherence keeps live lanes clustered,
+    # so row occupancy stays close to the lane-level live fraction. 1 =
+    # exact lane compaction (fine on CPU/numpy). Internally halved until it
+    # divides the batch.
+    compact_block: int = 128
     # Scene-dependent constants the reference injected at kernel build time:
     # NUM_LIGHTS / SKY_LIGHT / BVH_NUM_NODES become static here too, derived
     # from the Scene at trace time (shapes are static anyway).

@@ -61,7 +61,34 @@ def test_compact_bitwise_identical_jax(cornell, brdf, loop):
     )
     img_full, _ = _render(jnp, jscene, jcam, base)
     img_cmp, res = _render(
-        jnp, jscene, jcam, base.replace(compact_schedule=((3, 0.5), (4, 0.25)))
+        jnp,
+        jscene,
+        jcam,
+        base.replace(compact_schedule=((3, 0.5), (4, 0.25)), compact_block=1),
+    )
+    assert int(res.n_dropped) == 0
+    np.testing.assert_array_equal(img_cmp, img_full)
+
+
+def test_compact_rows_bitwise_identical_jax(cornell):
+    """Row-granular compaction (compact_block > 1) keeps whole rows of
+    lanes; with row capacity above the live-row count the image is bitwise
+    identical to full width."""
+    scene, cam = cornell
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    base = RenderSettings(
+        width=SIZE, height=SIZE, samples=1, max_depth=3, max_added_depth=5,
+        shadow_rays=1, anti_aliasing=0.7, brdf=BRDF_SCHLICK,
+        sky_light=(0.8, 0.9, 1.0),
+    )
+    img_full, _ = _render(jnp, jscene, jcam, base)
+    # 576 lanes / block 8 = 72 rows; fracs sized so no live row overflows.
+    img_cmp, res = _render(
+        jnp,
+        jscene,
+        jcam,
+        base.replace(compact_schedule=((3, 0.75), (4, 0.5)), compact_block=8),
     )
     assert int(res.n_dropped) == 0
     np.testing.assert_array_equal(img_cmp, img_full)
@@ -76,7 +103,7 @@ def test_compact_bitwise_identical_numpy(cornell):
     )
     img_full, _ = _render(np, scene, cam, base)
     img_cmp, res = _render(
-        np, scene, cam, base.replace(compact_schedule=((3, 0.5), (4, 0.25)))
+        np, scene, cam, base.replace(compact_schedule=((3, 0.5), (4, 0.25)), compact_block=1)
     )
     assert int(res.n_dropped) == 0
     np.testing.assert_array_equal(img_cmp, img_full)
