@@ -358,6 +358,7 @@ def trace_rays(
                 n_path = n_path + xp.sum(alive.astype(xp.int32))
                 heat = heat + alive.astype(xp.int32)
             # ---- intersect -------------------------------------------------
+            occ_fused = None  # NEE occlusion fused into the intersect kernel
             if settings.phong_tessellation > 0.0:
                 from pbr_tpu.ops.phongtess import intersect_brute_phongtess
 
@@ -365,9 +366,16 @@ def trace_rays(
                     xp, o, d, scene.tris, F32(settings.phong_tessellation)
                 )
             else:
-                t, face = intersect_scene(
-                    xp, o, d, scene, max_leaf=max_leaf, mode=settings.intersector
-                )
+                if nee_enabled:
+                    l0 = Vec3(lights.pos.x[0], lights.pos.y[0], lights.pos.z[0])
+                    t, face, occ_fused = intersect_scene(
+                        xp, o, d, scene, max_leaf=max_leaf,
+                        mode=settings.intersector, light_pos=l0,
+                    )
+                else:
+                    t, face = intersect_scene(
+                        xp, o, d, scene, max_leaf=max_leaf, mode=settings.intersector
+                    )
                 pt_u = pt_v = None
             orb_idx = _orb_pass(xp, o, d, lights, t) if num_lights else xp.full(
                 px.shape, -1, dtype=xp.int32
@@ -476,10 +484,13 @@ def trace_rays(
                 l_vec = l_pos - hit_p
                 t_light = safe_sqrt(l_vec.length2())
                 l_dir = l_vec * safe_div(F32(1.0), t_light)
-                occluded = _shadow_occluded(
-                    xp, scene, hit_p, l_dir, t_light, max_leaf,
-                    settings.intersector, settings.phong_tessellation,
-                )
+                if occ_fused is not None:
+                    occluded = occ_fused
+                else:
+                    occluded = _shadow_occluded(
+                        xp, scene, hit_p, l_dir, t_light, max_leaf,
+                        settings.intersector, settings.phong_tessellation,
+                    )
                 nee_ok = live & (m_d > 0.0) & ~occluded
                 if with_stats:
                     n_shadow = n_shadow + xp.sum((live & (m_d > 0.0)).astype(xp.int32))

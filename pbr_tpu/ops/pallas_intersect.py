@@ -31,22 +31,18 @@ _TILE_ROWS = 8
 _LANES = 128
 
 
-def _kernel(nf, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, f_ref):
-    """One (8, 128) ray tile vs all ``nf`` triangles.
+def _sweep(nf, tri_ref, ox, oy, oz, dx, dy, dz, t_limit=None):
+    """Unrolled all-faces Möller-Trumbore over one ray tile.
 
-    ``tri_ref``: (9, F) SMEM — rows are v0.xyz, e1.xyz, e2.xyz.
+    ``t_limit`` None: nearest-hit — returns (t_best, f_best).
+    ``t_limit`` array: any-hit with t < t_limit (shadow leg) — returns a
+    bool mask. Same math and first-face-wins tie-breaking as the XLA sweep.
     """
     import jax.numpy as jnp
 
-    ox = ox_ref[...]
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    dx = dx_ref[...]
-    dy = dy_ref[...]
-    dz = dz_ref[...]
-
     t_best = jnp.full(ox.shape, INF, dtype=jnp.float32)
     f_best = jnp.full(ox.shape, -1, dtype=jnp.int32)
+    occ = jnp.zeros(ox.shape, dtype=jnp.bool_)
 
     for f in range(nf):
         v0x = tri_ref[0, f]
@@ -75,22 +71,88 @@ def _kernel(nf, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, 
         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         u = (tx * px + ty * py + tz * pz) * inv_det
         v = (dx * qx + dy * qy + dz * qz) * inv_det
-        ok = (
-            (t >= np.float32(EPSILON5))
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t < t_best)
+        valid = (
+            (t >= np.float32(EPSILON5)) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         )
-        t_best = jnp.where(ok, t, t_best)
-        f_best = jnp.where(ok, np.int32(f), f_best)
+        if t_limit is None:
+            ok = valid & (t < t_best)
+            t_best = jnp.where(ok, t, t_best)
+            f_best = jnp.where(ok, np.int32(f), f_best)
+        else:
+            occ = occ | (valid & (t < t_limit))
 
+    if t_limit is None:
+        return t_best, f_best
+    return occ
+
+
+def _kernel(nf, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, f_ref):
+    """One (8, 128) ray tile vs all ``nf`` triangles.
+
+    ``tri_ref``: (9, F) SMEM — rows are v0.xyz, e1.xyz, e2.xyz.
+    """
+    t_best, f_best = _sweep(
+        nf, tri_ref,
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...],
+    )
     t_ref[...] = t_best
     f_ref[...] = f_best
 
 
+def _kernel_nee(
+    nf, tri_ref, lp_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    t_ref, f_ref, occ_ref,
+):
+    """Fused primary nearest-hit + NEE shadow any-hit in one pass.
+
+    The shadow leg re-derives the hit point / light direction with exactly
+    the integrator's guarded math (t_safe for missed lanes, safe_sqrt /
+    safe_div semantics), then sweeps the faces again with an any-hit
+    ``t < t_light`` test (the analog of traverseShadows' early-out,
+    pt_bvh.cl:133-177 — occluded iff some geometry hit lies closer than
+    the light). Saves one full kernel round-trip of ray state per bounce.
+    ``lp_ref``: (3,) SMEM — light 0 position (NEE always samples lights[0],
+    pathtracing.cl:188-199).
+    """
+    import jax.numpy as jnp
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+
+    t_best, f_best = _sweep(nf, tri_ref, ox, oy, oz, dx, dy, dz)
+    t_ref[...] = t_best
+    f_ref[...] = f_best
+
+    one = np.float32(1.0)
+    hit = t_best < INF
+    ts = jnp.where(hit, t_best, one)
+    hx = ox + dx * ts
+    hy = oy + dy * ts
+    hz = oz + dz * ts
+    lx = lp_ref[0] - hx
+    ly = lp_ref[1] - hy
+    lz = lp_ref[2] - hz
+    len2 = lx * lx + ly * ly + lz * lz
+    pos = len2 > 0.0
+    t_light = jnp.where(pos, jnp.sqrt(jnp.where(pos, len2, one)), 0.0)
+    okd = jnp.abs(t_light) > np.float32(1e-12)
+    inv = jnp.where(okd, one / jnp.where(okd, t_light, one), 0.0)
+    sx = lx * inv
+    sy = ly * inv
+    sz = lz * inv
+
+    occ = _sweep(nf, tri_ref, hx, hy, hz, sx, sy, sz, t_limit=t_light)
+    occ_ref[...] = occ.astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=None)
-def _build_call(nf: int, rows: int):
+def _build_call(nf: int, rows: int, nee: bool = False, interpret: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -102,21 +164,36 @@ def _build_call(nf: int, rows: int):
     )
     tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    call = pl.pallas_call(
+    t_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    f_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    if nee:
+        return pl.pallas_call(
+            functools.partial(_kernel_nee, nf),
+            grid=grid,
+            in_specs=[tri_spec, tri_spec] + [ray_spec] * 6,
+            out_specs=(ray_spec, ray_spec, ray_spec),
+            out_shape=(t_shape, f_shape, f_shape),
+            interpret=interpret,
+        )
+    return pl.pallas_call(
         functools.partial(_kernel, nf),
         grid=grid,
         in_specs=[tri_spec] + [ray_spec] * 6,
         out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
-        ),
+        out_shape=(t_shape, f_shape),
+        interpret=interpret,
     )
-    return call
 
 
-def intersect_pallas(xp, o: Vec3, d: Vec3, tris: TrianglesSoA):
-    """Nearest-hit over all triangles, fused on-chip. jax-only."""
+def intersect_pallas(
+    xp, o: Vec3, d: Vec3, tris: TrianglesSoA, light_pos=None, interpret: bool = False
+):
+    """Nearest-hit over all triangles, fused on-chip. jax-only.
+
+    With ``light_pos`` (a scalar Vec3, light 0), additionally runs the NEE
+    shadow any-hit in the same kernel and returns ``(t, face, occluded)``;
+    otherwise returns ``(t, face)``.
+    """
     import jax.numpy as jnp
 
     nf = int(tris.v0.x.shape[0])
@@ -140,8 +217,23 @@ def intersect_pallas(xp, o: Vec3, d: Vec3, tris: TrianglesSoA):
         axis=0,
     )  # (9, F)
 
-    call = _build_call(nf, total // _LANES)
-    t, f = call(tri, prep(o.x), prep(o.y), prep(o.z), prep(d.x), prep(d.y), prep(d.z))
-    t = t.reshape(-1)[:flat].reshape(shape)
-    f = f.reshape(-1)[:flat].reshape(shape)
-    return t, f
+    rays = (prep(o.x), prep(o.y), prep(o.z), prep(d.x), prep(d.y), prep(d.z))
+    unflat = lambda a: a.reshape(-1)[:flat].reshape(shape)  # noqa: E731
+    if light_pos is not None:
+        import jax
+
+        lp = jax.lax.stop_gradient(
+            jnp.stack(
+                [
+                    jnp.asarray(light_pos.x, jnp.float32),
+                    jnp.asarray(light_pos.y, jnp.float32),
+                    jnp.asarray(light_pos.z, jnp.float32),
+                ]
+            )
+        )
+        call = _build_call(nf, total // _LANES, nee=True, interpret=interpret)
+        t, f, occ = call(tri, lp, *rays)
+        return unflat(t), unflat(f), unflat(occ) != 0
+    call = _build_call(nf, total // _LANES, interpret=interpret)
+    t, f = call(tri, *rays)
+    return unflat(t), unflat(f)

@@ -309,7 +309,8 @@ def _stop_grad3(xp, v: Vec3) -> Vec3:
 
 
 def intersect_scene(
-    xp, o: Vec3, d: Vec3, scene, max_leaf: int = 2, mode: str = "auto"
+    xp, o: Vec3, d: Vec3, scene, max_leaf: int = 2, mode: str = "auto",
+    light_pos=None,
 ):
     """Nearest-hit dispatch (the analog of the reference's ACCEL_STRUCT
     kernel specialization, pathtracing.cl:217-219).
@@ -326,6 +327,11 @@ def intersect_scene(
     and geometry flow exactly. This also keeps the *backward* pass cheap:
     it never replays the all-faces competition, only the single re-eval.
     Both backends re-evaluate identically so numpy/jax parity holds.
+
+    ``light_pos`` (scalar Vec3, light 0): request the NEE shadow any-hit
+    fused into the same device pass. Returns ``(t, face, occluded)`` where
+    ``occluded`` is None when the selected mode has no fused path (the
+    caller falls back to a separate shadow intersect).
     """
     o_s = _stop_grad3(xp, o)
     d_s = _stop_grad3(xp, d)
@@ -355,7 +361,12 @@ def intersect_scene(
     elif mode == "pallas":
         from pbr_tpu.ops.pallas_intersect import intersect_pallas
 
-        _, face = intersect_pallas(xp, o_s, d_s, scene.tris)
+        if light_pos is not None:
+            _, face, occ = intersect_pallas(
+                xp, o_s, d_s, scene.tris, light_pos=light_pos
+            )
+        else:
+            _, face = intersect_pallas(xp, o_s, d_s, scene.tris)
     else:
         _, face = intersect_brute(xp, o_s, d_s, scene.tris)
 
@@ -375,4 +386,6 @@ def intersect_scene(
     e2 = gather_vec3(tris_s.e2, safe)
     t_re, _ = moller_trumbore(xp, o, d, v0, e1, e2)
     t = xp.where(face >= 0, t_re, INF)
+    if light_pos is not None:
+        return t, face, (occ if mode == "pallas" else None)
     return t, face
