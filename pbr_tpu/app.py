@@ -124,6 +124,24 @@ def cmd_render(args) -> None:
 
     if args.out:
         img = pt.image()
+        if args.denoise:
+            import functools
+
+            import jax.numpy as jnp
+
+            from pbr_tpu.ops.denoise import first_hit_features, noise_filter
+
+            with timers.span("denoise"):
+                jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+                jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+                # Two jits (features / filter): an order of magnitude
+                # faster to compile than the fused graph on the TPU tunnel.
+                feat = jax.jit(
+                    functools.partial(first_hit_features, jnp),
+                    static_argnames=("settings",),
+                )(jscene, jcam, settings=settings)
+                filt = jax.jit(functools.partial(noise_filter, jnp))
+                img = np.asarray(filt(jnp.asarray(img), *feat))
         if args.bvh_overlay or args.lights_overlay:
             from pbr_tpu.accel.visualize import overlay_bvh, overlay_lights
             from pbr_tpu.utils.image import tonemap
@@ -273,6 +291,9 @@ def main(argv=None) -> None:
     r.add_argument("--lights-overlay", action="store_true", dest="lights_overlay",
                    help="draw light-position boxes")
     r.add_argument("--exposure", type=float, default=0.4)
+    r.add_argument("--denoise", action="store_true",
+                   help="feature-guided a-trous noise filter on the output "
+                        "(the reference's unfinished noise_filtering.cl, completed)")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--stats", action="store_true")
     r.set_defaults(fn=cmd_render)
