@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument(
         "--block", type=int, default=128, help="compaction row granularity (lanes)"
     )
+    ap.add_argument(
+        "--remat",
+        default="none",
+        choices=["none", "save_isect"],
+        help="backward-pass rematerialization policy",
+    )
     args = ap.parse_args()
 
     import jax
@@ -91,6 +97,7 @@ def main() -> None:
             for p in args.compact.split(",")
         ),
         compact_block=args.block,
+        remat=args.remat,
     )
 
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)

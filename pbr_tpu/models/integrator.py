@@ -178,7 +178,15 @@ def _run_phase(xp, settings, body, carry, lo: int, hi: int):
     """
     if lo >= hi:
         return carry
-    if xp.__name__.startswith("jax") and settings.bounce_loop == "scan":
+    is_jax = xp.__name__.startswith("jax")
+    if is_jax and settings.remat == "save_isect":
+        import jax
+
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("isect"),
+        )
+    if is_jax and settings.bounce_loop == "scan":
         import jax
 
         carry, _ = jax.lax.scan(
@@ -377,6 +385,16 @@ def trace_rays(
                         xp, o, d, scene, max_leaf=max_leaf, mode=settings.intersector
                     )
                 pt_u = pt_v = None
+            if xp.__name__.startswith("jax") and settings.remat == "save_isect":
+                # Mark the intersect outputs as the ONLY residuals worth
+                # saving across the forward/backward boundary (see
+                # RenderSettings.remat): tiny to store, expensive to recompute.
+                from jax.ad_checkpoint import checkpoint_name
+
+                t = checkpoint_name(t, "isect")
+                face = checkpoint_name(face, "isect")
+                if occ_fused is not None:
+                    occ_fused = checkpoint_name(occ_fused, "isect")
             orb_idx = _orb_pass(xp, o, d, lights, t) if num_lights else xp.full(
                 px.shape, -1, dtype=xp.int32
             )

@@ -104,6 +104,14 @@ class RenderSettings:
     # exact lane compaction (fine on CPU/numpy). Internally halved until it
     # divides the batch.
     compact_block: int = 128
+    # Backward-pass rematerialization (jax only): 'none' lets XLA store
+    # whatever residuals it likes; 'save_isect' wraps each bounce in
+    # jax.checkpoint with a save_only_these_names policy that keeps ONLY the
+    # intersect kernel outputs (t/face/occluded — the values that are
+    # expensive to recompute and tiny to store) and recomputes all shading
+    # math in the backward pass. Turns the backward from residual-bandwidth
+    # bound into (cheap) recompute.
+    remat: str = "none"
     # Scene-dependent constants the reference injected at kernel build time:
     # NUM_LIGHTS / SKY_LIGHT / BVH_NUM_NODES become static here too, derived
     # from the Scene at trace time (shapes are static anyway).
