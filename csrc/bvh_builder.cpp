@@ -44,6 +44,8 @@ struct Node {
   int32_t left = -1, right = -1;  // indices into node pool
   std::vector<int64_t> faces;     // leaf payload
   int32_t size = 1;               // subtree node count
+  bool skip = false;              // skip-ahead: elide from the linear stream
+  int32_t esize = 1;              // emitted subtree size (records serialized)
 };
 
 struct Builder {
@@ -54,6 +56,7 @@ struct Builder {
   const float* cz;
   int64_t max_faces;
   int64_t sah_limit;
+  double skip_cmp;  // < 0 disables skip-ahead (matches accel/bvh.py)
   std::vector<Node> pool;
 
   const float* centroid(int axis) const {
@@ -179,6 +182,19 @@ struct Builder {
     pool[self].left = li;
     pool[self].right = ri;
     pool[self].size = 1 + pool[li].size + pool[ri].size;
+    // Skip-ahead marking (reference BVH::skipAheadOfNodes, BVH.cpp:770-795):
+    // an inner left child with SA close to this node's is elided from the
+    // serialized stream. f32 ratio promoted to double exactly like NumPy
+    // comparing a f32 quotient against a Python float.
+    if (skip_cmp >= 0.0 && pool[li].left >= 0) {
+      float sa_self = surface_area_f(pool[self].bb_min, pool[self].bb_max);
+      float sa_first = surface_area_f(pool[li].bb_min, pool[li].bb_max);
+      if (sa_self > 0.0f && (double)(sa_first / sa_self) >= skip_cmp) {
+        pool[li].skip = true;
+      }
+    }
+    int32_t contrib_l = pool[li].esize - (pool[li].skip ? 1 : 0);
+    pool[self].esize = 1 + contrib_l + pool[ri].esize;
     return self;
   }
 };
@@ -198,9 +214,11 @@ struct PbrBvhResult {
   int64_t* leaf_order;  // (n_faces)
 };
 
+// skip_cmp < 0 disables skip-ahead; >= 0 elides inner left children with
+// SA(left)/SA(node) >= skip_cmp (reference bvh.skip_ahead_compare).
 int pbr_build_bvh(const float* v0, const float* v1, const float* v2,
                   int64_t n_faces, int64_t max_faces, int64_t sah_limit,
-                  PbrBvhResult* out) {
+                  double skip_cmp, PbrBvhResult* out) {
   if (n_faces <= 0) return 1;
   std::vector<Vec3f> fmin(n_faces), fmax(n_faces);
   std::vector<float> cx(n_faces), cy(n_faces), cz(n_faces);
@@ -223,13 +241,13 @@ int pbr_build_bvh(const float* v0, const float* v1, const float* v2,
   }
 
   Builder b{fmin.data(), fmax.data(), cx.data(), cy.data(), cz.data(),
-            std::max<int64_t>(1, max_faces), sah_limit};
+            std::max<int64_t>(1, max_faces), sah_limit, skip_cmp};
   b.pool.reserve((size_t)(2 * n_faces));
   std::vector<int64_t> all(n_faces);
   for (int64_t i = 0; i < n_faces; i++) all[i] = i;
   int32_t root = b.make_node(all);
 
-  int64_t total = b.pool[root].size;
+  int64_t total = b.pool[root].esize;
   out->n_nodes = total;
   out->n_faces = n_faces;
   out->bb_min = (float*)malloc(sizeof(float) * 3 * total);
@@ -240,33 +258,43 @@ int pbr_build_bvh(const float* v0, const float* v1, const float* v2,
   out->leaf_order = (int64_t*)malloc(sizeof(int64_t) * n_faces);
 
   // Preorder DFS with escape indices (matches accel/bvh.py: stack of
-  // (node, escape), left pushed last so it pops first).
-  std::vector<std::pair<int32_t, int32_t>> stack;
-  stack.push_back({root, (int32_t)total});
+  // (node, escape, elide), left pushed last so it pops first). An elided
+  // node emits no record — its children take its place.
+  struct Item {
+    int32_t ni;
+    int32_t escape;
+    bool elide;
+  };
+  std::vector<Item> stack;
+  stack.push_back({root, (int32_t)total, false});
   int64_t i = 0, fpos = 0;
   while (!stack.empty()) {
-    auto [ni, escape] = stack.back();
+    Item it = stack.back();
     stack.pop_back();
-    Node& nd = b.pool[ni];
-    out->bb_min[3 * i] = nd.bb_min.x;
-    out->bb_min[3 * i + 1] = nd.bb_min.y;
-    out->bb_min[3 * i + 2] = nd.bb_min.z;
-    out->bb_max[3 * i] = nd.bb_max.x;
-    out->bb_max[3 * i + 1] = nd.bb_max.y;
-    out->bb_max[3 * i + 2] = nd.bb_max.z;
-    out->exit_idx[i] = escape;
-    if (nd.left < 0) {
-      out->leaf_first[i] = (int32_t)fpos;
-      out->leaf_count[i] = (int32_t)nd.faces.size();
-      for (int64_t f : nd.faces) out->leaf_order[fpos++] = f;
-    } else {
+    Node& nd = b.pool[it.ni];
+    if (!it.elide) {
+      out->bb_min[3 * i] = nd.bb_min.x;
+      out->bb_min[3 * i + 1] = nd.bb_min.y;
+      out->bb_min[3 * i + 2] = nd.bb_min.z;
+      out->bb_max[3 * i] = nd.bb_max.x;
+      out->bb_max[3 * i + 1] = nd.bb_max.y;
+      out->bb_max[3 * i + 2] = nd.bb_max.z;
+      out->exit_idx[i] = it.escape;
+      if (nd.left < 0) {
+        out->leaf_first[i] = (int32_t)fpos;
+        out->leaf_count[i] = (int32_t)nd.faces.size();
+        for (int64_t f : nd.faces) out->leaf_order[fpos++] = f;
+        i++;
+        continue;
+      }
       out->leaf_first[i] = -1;
       out->leaf_count[i] = 0;
-      int32_t right_start = (int32_t)(i + 1 + b.pool[nd.left].size);
-      stack.push_back({nd.right, escape});
-      stack.push_back({nd.left, right_start});
+      i++;
     }
-    i++;
+    Node& lc = b.pool[nd.left];
+    int32_t right_start = (int32_t)(i + lc.esize - (lc.skip ? 1 : 0));
+    stack.push_back({nd.right, it.escape, false});
+    stack.push_back({nd.left, right_start, lc.skip});
   }
   return 0;
 }

@@ -42,10 +42,14 @@ class BuildStats:
     num_leaves: int = 0
     max_depth: int = 0
     build_ms: float = 0.0
+    num_skipped: int = 0  # inner left children elided by skip-ahead
 
 
 class _Node:
-    __slots__ = ("bb_min", "bb_max", "faces", "left", "right", "depth", "size")
+    __slots__ = (
+        "bb_min", "bb_max", "faces", "left", "right", "depth", "size",
+        "skip", "esize",
+    )
 
     def __init__(self, bb_min, bb_max, faces, depth):
         self.bb_min = bb_min
@@ -55,6 +59,8 @@ class _Node:
         self.right = None
         self.depth = depth
         self.size = 1  # subtree node count, filled after children exist
+        self.skip = False  # elide this node's record from the linear stream
+        self.esize = 1  # emitted subtree size (records actually serialized)
 
 
 def _surface_area(bb_min: np.ndarray, bb_max: np.ndarray) -> np.ndarray:
@@ -184,6 +190,20 @@ def build_bvh(
             left, right = right, left
         node.left, node.right = left, right
         node.size = 1 + left.size + right.size
+        # Skip-ahead (reference BVH::skipAheadOfNodes, BVH.cpp:770-795 +
+        # serialization-time elision, PathTracer.cpp:250-257,271-273): an
+        # *inner* left child whose surface area is >= ``skip_ahead_compare``
+        # of this node's is elided from the linear stream — its AABB test
+        # would almost always repeat the parent's verdict, so the "hit ⇒
+        # next in memory" descent lands directly on its own left child.
+        if cfg.skip_ahead and left.faces is None:
+            sa_node = _surface_area(node.bb_min, node.bb_max)
+            sa_first = _surface_area(left.bb_min, left.bb_max)
+            if sa_node > 0.0 and sa_first / sa_node >= cfg.skip_ahead_compare:
+                left.skip = True
+                stats.num_skipped += 1
+        contrib_l = left.esize - (1 if left.skip else 0)
+        node.esize = 1 + contrib_l + right.esize
         return node
 
     import sys
@@ -197,8 +217,10 @@ def build_bvh(
 
     # ---- preorder linearization with escape indices --------------------
     # (the reference's orderNodesByTraversal + right-sibling escape
-    # computation, BVH.cpp:671-729 / PathTracer.cpp:278-307)
-    total = root.size
+    # computation, BVH.cpp:671-729 / PathTracer.cpp:278-307; skip-marked
+    # left children are elided here exactly as the reference's serializer
+    # drops them, PathTracer.cpp:253-257)
+    total = root.esize
     bb_min = np.zeros((total, 3), dtype=np.float32)
     bb_max = np.zeros((total, 3), dtype=np.float32)
     leaf_first = np.full((total,), -1, dtype=np.int32)
@@ -206,23 +228,29 @@ def build_bvh(
     exit_idx = np.zeros((total,), dtype=np.int32)
     leaf_order: list = []
 
-    # Iterative preorder DFS carrying each subtree's escape index.
-    stack = [(root, total)]
+    # Iterative preorder DFS carrying each subtree's escape index. An
+    # elided node emits no record of its own; its children take its place
+    # (the left one inherits the current position, the right one the
+    # elided node's escape), so ``i`` does not advance for it.
+    stack = [(root, total, False)]
     i = 0
     while stack:
-        node, escape = stack.pop()
-        bb_min[i] = node.bb_min
-        bb_max[i] = node.bb_max
-        exit_idx[i] = escape
-        if node.faces is not None:
-            leaf_first[i] = len(leaf_order)
-            leaf_count[i] = node.faces.shape[0]
-            leaf_order.extend(node.faces.tolist())
-        else:
-            right_start = i + 1 + node.left.size
-            stack.append((node.right, escape))
-            stack.append((node.left, right_start))
-        i += 1
+        node, escape, elide = stack.pop()
+        if not elide:
+            bb_min[i] = node.bb_min
+            bb_max[i] = node.bb_max
+            exit_idx[i] = escape
+            if node.faces is not None:
+                leaf_first[i] = len(leaf_order)
+                leaf_count[i] = node.faces.shape[0]
+                leaf_order.extend(node.faces.tolist())
+                i += 1
+                continue
+            i += 1
+        left, right = node.left, node.right
+        right_start = i + left.esize - (1 if left.skip else 0)
+        stack.append((right, escape, False))
+        stack.append((left, right_start, left.skip))
     assert i == total
 
     stats.num_nodes = total
@@ -230,6 +258,11 @@ def build_bvh(
     Logger.debug(
         f"[bvh] Built BVH: {stats.num_nodes} nodes, {stats.num_leaves} leaves, "
         f"max depth {stats.max_depth}, {stats.build_ms:.1f} ms."
+        + (
+            f" Skip-ahead elided {stats.num_skipped} left child nodes."
+            if cfg.skip_ahead
+            else ""
+        )
     )
 
     lin = LinearBVH(

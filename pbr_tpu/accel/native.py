@@ -76,6 +76,7 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
                 ctypes.c_int64,
                 ctypes.c_int64,
+                ctypes.c_double,
                 ctypes.POINTER(_Result),
             ]
             lib.pbr_free_bvh.argtypes = [ctypes.POINTER(_Result)]
@@ -112,6 +113,7 @@ def build_bvh_native(
         nf,
         int(cfg.max_faces),
         int(cfg.sah_faces_limit),
+        float(cfg.skip_ahead_compare) if cfg.skip_ahead else -1.0,
         ctypes.byref(res),
     )
     if rc != 0:

@@ -143,3 +143,41 @@ def test_mean_split_path():
         t1, f1 = intersect_brute(np, o, d, scene.tris)
         t2, f2 = intersect_bvh(np, o, d, scene.bvh, scene.tris, max_leaf=4)
     np.testing.assert_array_equal(np.nan_to_num(t1, nan=-1), np.nan_to_num(t2, nan=-1))
+
+
+def test_skip_ahead_traversal_equals_brute_force():
+    """Skip-ahead elision (BVH.cpp:770-795 + PathTracer.cpp:250-307): the
+    serialized stream drops inner left children whose SA is close to their
+    parent's, shrinking the node buffer while traversal stays exact."""
+    obj_text = random_soup(400, seed=3)
+    scene_plain, _ = scene_from_text(obj_text, use_bvh=True)
+    scene_skip, _ = scene_from_text(
+        obj_text, use_bvh=True, bvh_cfg=BVHConfig(skip_ahead=True)
+    )
+    assert scene_skip.bvh.count < scene_plain.bvh.count
+    o, d = _rand_rays(20000, seed=7)
+    with np.errstate(all="ignore"):
+        t1, f1 = intersect_brute(np, o, d, scene_skip.tris)
+        t2, f2 = intersect_bvh(np, o, d, scene_skip.bvh, scene_skip.tris, max_leaf=2)
+    np.testing.assert_array_equal(np.nan_to_num(t1, nan=-1), np.nan_to_num(t2, nan=-1))
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_skip_ahead_invariants():
+    """Escape indices stay strictly forward and leaves keep every face."""
+    scene = _soup_tris(257)
+    v0 = scene.tris.v0.stack(np)
+    v1 = (scene.tris.v0 + scene.tris.e1).stack(np)
+    v2 = (scene.tris.v0 + scene.tris.e2).stack(np)
+    bvh, order, stats = build_bvh(
+        v0, v1, v2, BVHConfig(max_faces=2, skip_ahead=True)
+    )
+    assert stats.num_skipped > 0
+    assert bvh.count == stats.num_nodes
+    n = bvh.count
+    assert sorted(order.tolist()) == list(range(257))
+    counts = np.asarray(bvh.leaf_count)
+    leaf = np.asarray(bvh.leaf_first) >= 0
+    assert counts[leaf].sum() == 257
+    ex = np.asarray(bvh.exit)
+    assert (ex > np.arange(n)).all() and (ex <= n).all()

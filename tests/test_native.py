@@ -58,3 +58,10 @@ def test_native_is_faster_on_large():
     t_c = time.perf_counter() - t0
     # Not a strict perf gate on CI noise — just sanity that native wins big.
     assert t_c < t_py, (t_c, t_py)
+
+
+def test_soup_exact_skip_ahead():
+    _assert_equal(
+        BVHConfig(max_faces=2, skip_ahead=True),
+        *_tri_arrays(random_soup(777, seed=2)),
+    )
