@@ -273,6 +273,44 @@ def cmd_fit(args) -> None:
         Logger.info(f"[fit] Wrote {args.out}")
 
 
+def cmd_view(args) -> None:
+    """Interactive progressive viewer (Window/GLWidget analog, viewer.py)."""
+    import shutil
+
+    from pbr_tpu.utils.config import load_config
+    from pbr_tpu.utils.log import Logger
+    from pbr_tpu.viewer import Viewer
+
+    cfg = load_config(args.config)
+    Logger.set_level(cfg.logging_level)
+    settings = cfg.render
+    if args.size:
+        settings = settings.replace(width=args.size, height=args.size)
+    if args.scene == "cornell":
+        settings = settings.replace(shadow_rays=1)
+    scene, settings = _load_scene(args.scene, settings, cfg.bvh)
+    cam_cfg = cfg.camera
+    if args.scene == "cornell":
+        import dataclasses
+
+        cam_cfg = dataclasses.replace(cfg.camera, eye=(0.0, 1.0, 3.2))
+    size = shutil.get_terminal_size((80, 24))
+    viewer = Viewer(
+        scene,
+        settings,
+        cam_cfg,
+        exposure=args.exposure,
+        term_cols=size.columns,
+        term_rows=size.lines,
+    )
+    viewer.run(
+        max_frames=args.frames,
+        keys=args.keys,
+        draw=not args.no_draw,
+        target_fps=args.fps,
+    )
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="pbr_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -297,6 +335,20 @@ def main(argv=None) -> None:
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--stats", action="store_true")
     r.set_defaults(fn=cmd_render)
+
+    v = sub.add_parser(
+        "view",
+        help="interactive terminal viewer (the reference's Qt window analog)",
+    )
+    v.add_argument("--scene", default="cornell", help=".obj path or cornell|triangle|soup:N")
+    v.add_argument("--config", default=None)
+    v.add_argument("--size", type=int, default=256)
+    v.add_argument("--frames", type=int, default=None, help="stop after N frames")
+    v.add_argument("--keys", default=None, help="scripted keys, one per frame (CI)")
+    v.add_argument("--fps", type=float, default=30.0)
+    v.add_argument("--exposure", type=float, default=2.5)
+    v.add_argument("--no-draw", action="store_true", dest="no_draw")
+    v.set_defaults(fn=cmd_view)
 
     f = sub.add_parser("fit", help="inverse-rendering demo")
     f.add_argument("--scene", default="cornell")

@@ -1,0 +1,293 @@
+"""Interactive terminal viewer — the headless counterpart of the reference's
+Qt render window (``Window`` + ``GLWidget``: progressive display, WASDQE/R
+camera with progressive restart, F/G speed, L light-move toggle, right-click
+DoF focus, FPS status bar — Window.cpp:178-242, GLWidget.cpp:432-517,791-815).
+
+On a TPU host there is no GL surface; frames accumulate on device and are
+blitted to the terminal as ANSI truecolor half-blocks (two pixels per
+character cell, '▀' with foreground = top pixel, background = bottom pixel).
+
+Controls (reference key map, Window.cpp:178-211):
+    w/a/s/d     move forward/left/backward/right
+    q/e         move up/down
+    arrow keys  rotate (the reference used mouse drag, Window.cpp:218-242)
+    r           reset camera to config
+    f/g         camera speed +0.1 / -0.1 (GLWidget.cpp:432-434)
+    l           toggle light-move mode: WASDQE move light 0 by 0.25
+                (completes the reference's stubbed PathTracer::moveSun,
+                PathTracer.cpp:540-570 — upstream only reset the sample
+                counter; here the orb actually moves)
+    p / o       set DoF focus to the center pixel's hit distance / clear
+                (the reference's right/middle click, GLWidget.cpp:441-447)
+    x           quit
+
+Any camera or light change restarts progressive accumulation, exactly like
+GLWidget::cameraUpdate → PathTracer::resetSampleCount (GLWidget.cpp:80-84).
+
+Scriptable for tests and CI: pass ``keys`` (one key consumed per frame) and
+``max_frames``; writing goes to any file-like ``out``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from pbr_tpu.scene.camera import Camera
+from pbr_tpu.scene.types import Scene
+from pbr_tpu.utils.config import CameraConfig, RenderSettings
+from pbr_tpu.utils.log import Logger
+
+_ROT_STEP = 4.0  # degrees per arrow-key press (mouse-drag analog)
+_LIGHT_STEP = 0.25  # PathTracer.cpp:544-565 (commented-out upstream)
+
+
+def tonemap_u8(img: np.ndarray, exposure: float = 1.0) -> np.ndarray:
+    """Clip + gamma-2.2 encode to uint8 (the GL blit displayed the raw
+    float texture; a terminal needs 8-bit sRGB)."""
+    x = np.clip(img / max(exposure, 1e-6), 0.0, 1.0)
+    return (x ** (1.0 / 2.2) * 255.0 + 0.5).astype(np.uint8)
+
+
+def downsample(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average (H, W, 3) → (out_h, out_w, 3) by integer binning of a
+    cropped-to-divisible region; nearest-sample fallback when upscaling."""
+    h, w = img.shape[:2]
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("downsample: empty output")
+    if out_h > h or out_w > w:
+        yi = np.linspace(0, h - 1, out_h).astype(int)
+        xi = np.linspace(0, w - 1, out_w).astype(int)
+        return img[yi][:, xi]
+    by, bx = h // out_h, w // out_w
+    crop = img[: out_h * by, : out_w * bx]
+    return crop.reshape(out_h, by, out_w, bx, -1).mean(axis=(1, 3))
+
+
+def ansi_halfblocks(u8: np.ndarray) -> str:
+    """(2R, C, 3) uint8 → R text rows of truecolor half-block cells."""
+    rows = []
+    h = u8.shape[0] // 2 * 2
+    for y in range(0, h, 2):
+        top, bot = u8[y], u8[y + 1]
+        cells = [
+            f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+            for t, b in zip(top, bot)
+        ]
+        rows.append("".join(cells) + "\x1b[0m")
+    return "\n".join(rows)
+
+
+class _RawKeys:
+    """Non-blocking raw-mode key source for a real tty; optional."""
+
+    def __init__(self, stream):
+        self._stream = stream
+        self._fd = stream.fileno()
+        self._saved = None
+
+    def __enter__(self):
+        import termios
+        import tty
+
+        self._saved = termios.tcgetattr(self._fd)
+        tty.setcbreak(self._fd)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+
+        termios.tcsetattr(self._fd, termios.TCSADRAIN, self._saved)
+
+    def poll(self) -> Optional[str]:
+        import select
+
+        r, _, _ = select.select([self._fd], [], [], 0)
+        if not r:
+            return None
+        ch = self._stream.read(1)
+        if ch == "\x1b":  # arrow keys: ESC [ A/B/C/D
+            r, _, _ = select.select([self._fd], [], [], 0.01)
+            if r and self._stream.read(1) == "[":
+                code = self._stream.read(1)
+                return {"A": "UP", "B": "DOWN", "C": "RIGHT", "D": "LEFT"}.get(code)
+            return None
+        return ch
+
+
+class Viewer:
+    """Progressive render loop + key dispatch (the GLWidget/QTimer analog)."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        settings: RenderSettings,
+        cam_cfg: CameraConfig = CameraConfig(),
+        max_leaf: int = 2,
+        exposure: float = 2.5,
+        term_cols: int = 80,
+        term_rows: int = 24,
+        out=None,
+    ):
+        from pbr_tpu.models.pathtracer import PathTracer
+
+        self.tracer = PathTracer(scene, settings, max_leaf=max_leaf)
+        self._resets = 0  # progressive restarts (observable for tests);
+        # set before Camera() — its reset() fires on_update immediately.
+        self.camera = Camera(cam_cfg, on_update=self._on_camera_update)
+        self._resets = 0
+        self.settings = settings
+        self.exposure = exposure
+        self.term_cols = term_cols
+        self.term_rows = term_rows
+        self.out = out if out is not None else sys.stdout
+        self.move_light = False  # GLWidget::mMoveLight (GLWidget.cpp:858-864)
+        self.focus = -1.0  # DoF focus distance; -1 = off
+        self.frame = 0
+        self.quit = False
+
+    # ---- state hooks ----------------------------------------------------
+    def _on_camera_update(self) -> None:
+        self.tracer.reset_sample_count()
+        self._resets += 1
+
+    def _move_light(self, key: str) -> None:
+        """Move light 0 (the completed PathTracer::moveSun) and restart."""
+        jnp = self.tracer._jnp
+        lights = self.tracer.scene.lights
+        dx = {"a": -_LIGHT_STEP, "d": _LIGHT_STEP}.get(key, 0.0)
+        dy = {"q": _LIGHT_STEP, "e": -_LIGHT_STEP}.get(key, 0.0)
+        dz = {"w": _LIGHT_STEP, "s": -_LIGHT_STEP}.get(key, 0.0)
+        pos = lights.pos
+        new_pos = type(pos)(
+            pos.x.at[0].add(dx), pos.y.at[0].add(dy), pos.z.at[0].add(dz)
+        )
+        self.tracer.scene = self.tracer.scene._replace(
+            lights=lights._replace(pos=new_pos)
+        )
+        self.tracer.reset_sample_count()
+        self._resets += 1
+
+    def handle_key(self, key: str) -> None:
+        if key in ("x", "\x03"):
+            self.quit = True
+            return
+        if key == "l":
+            self.move_light = not self.move_light
+            Logger.info(f"[viewer] Keyboard controls light: {int(self.move_light)}")
+            return
+        if self.move_light and key in "wasdqe":
+            self._move_light(key)
+            return
+        cam = self.camera
+        if key == "w":
+            cam.move_forward()
+        elif key == "s":
+            cam.move_backward()
+        elif key == "a":
+            cam.move_left()
+        elif key == "d":
+            cam.move_right()
+        elif key == "q":
+            cam.move_up()
+        elif key == "e":
+            cam.move_down()
+        elif key == "r":
+            cam.reset()
+        elif key == "f":
+            cam.speed += 0.1
+        elif key == "g":
+            cam.speed = max(0.0, cam.speed - 0.1)
+        elif key == "LEFT":
+            cam.update_rotation(-_ROT_STEP, 0)
+        elif key == "RIGHT":
+            cam.update_rotation(_ROT_STEP, 0)
+        elif key == "UP":
+            cam.update_rotation(0, -_ROT_STEP)
+        elif key == "DOWN":
+            cam.update_rotation(0, _ROT_STEP)
+        elif key == "p":
+            # Focus on the center pixel's first-hit distance (the
+            # right-click setFocus analog; depth channel as pt_rgb.cl:18).
+            depth = self.tracer.depth_image()
+            t = float(depth[depth.shape[0] // 2, depth.shape[1] // 2])
+            self.focus = t if np.isfinite(t) and t > 0 else -1.0
+            self._on_camera_update()
+        elif key == "o":
+            self.focus = -1.0
+            self._on_camera_update()
+
+    # ---- frame loop ------------------------------------------------------
+    def render_one(self) -> None:
+        self.tracer.render(self.camera.state(focus=self.focus), frame_seed=self.frame)
+        self.frame += 1
+
+    def draw(self) -> None:
+        img = self.tonemapped()
+        cells_w = min(self.term_cols, self.settings.width)
+        cells_h = min(self.term_rows - 1, max(1, self.settings.height // 2))
+        small = downsample(img, cells_h * 2, cells_w)
+        w = self.out
+        w.write("\x1b[H\x1b[2J")  # home + clear
+        w.write(ansi_halfblocks(small.astype(np.uint8)))
+        w.write("\n" + self.status_line() + "\n")
+        w.flush()
+
+    def tonemapped(self) -> np.ndarray:
+        return tonemap_u8(self.tracer.image(), self.exposure)
+
+    def status_line(self) -> str:
+        """The status-bar line (GLWidget::showFPS, GLWidget.cpp:791-815)."""
+        e = self.camera.eye
+        mode = "LIGHT" if self.move_light else "cam"
+        return (
+            f"frame {self.frame} | {self.tracer.sample_count} spp | "
+            f"{self.settings.width}x{self.settings.height} | "
+            f"eye ({e[0]:.2f}, {e[1]:.2f}, {e[2]:.2f}) | speed "
+            f"{self.camera.speed:.1f} | {mode} | keys: wasdqe move, arrows "
+            f"rotate, r reset, f/g speed, l light, p/o focus, x quit"
+        )
+
+    def run(
+        self,
+        max_frames: Optional[int] = None,
+        keys: Optional[str] = None,
+        draw: bool = True,
+        target_fps: float = 30.0,
+    ) -> None:
+        """Progressive loop (the QTimer at render.interval ms,
+        GLWidget.cpp:30-34,833-840). ``keys``: scripted key string consumed
+        one per frame (tests/CI); otherwise reads the tty when available."""
+        scripted = list(keys) if keys is not None else None
+        interval = 1.0 / max(target_fps, 1e-3)
+        tty_src = None
+        if scripted is None and hasattr(sys.stdin, "isatty") and sys.stdin.isatty():
+            tty_src = _RawKeys(sys.stdin)
+        try:
+            if tty_src is not None:
+                tty_src.__enter__()
+            while not self.quit and (max_frames is None or self.frame < max_frames):
+                t0 = time.perf_counter()
+                if scripted is not None:
+                    if scripted:
+                        self.handle_key(scripted.pop(0))
+                elif tty_src is not None:
+                    k = tty_src.poll()
+                    while k is not None:
+                        self.handle_key(k)
+                        k = tty_src.poll()
+                if self.quit:
+                    break
+                self.render_one()
+                if draw:
+                    self.draw()
+                if tty_src is not None:
+                    dt = time.perf_counter() - t0
+                    if dt < interval:
+                        time.sleep(interval - dt)
+        finally:
+            if tty_src is not None:
+                tty_src.__exit__()
