@@ -42,9 +42,27 @@ _GOLDEN = np.uint32(0x9E3779B9)
 _INV_2_24 = np.float32(1.0 / (1 << 24))
 
 
+def _is_scalar_int(x) -> bool:
+    return isinstance(x, (int, np.integer))
+
+
 def lowbias32(x):
-    """Integer finalizer hash (public-domain 'lowbias32' constants)."""
-    x = x.astype(np.uint32) if hasattr(x, "astype") else np.uint32(x)
+    """Integer finalizer hash (public-domain 'lowbias32' constants).
+
+    Scalar Python/NumPy ints take a pure-Python path with explicit 32-bit
+    masks: NumPy *arrays* wrap uint32 arithmetic silently, but NumPy
+    *scalars* emit RuntimeWarning on overflow — the wraparound is the whole
+    point here, so scalars never go through NumPy scalar arithmetic.
+    """
+    if _is_scalar_int(x):
+        x = int(x) & 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * 0x7FEB352D) & 0xFFFFFFFF
+        x ^= x >> 15
+        x = (x * 0x846CA68B) & 0xFFFFFFFF
+        x ^= x >> 16
+        return np.uint32(x)
+    x = x.astype(np.uint32)
     x = x ^ (x >> np.uint32(16))
     x = (x * _M1).astype(np.uint32)
     x = x ^ (x >> np.uint32(15))
@@ -54,10 +72,21 @@ def lowbias32(x):
 
 
 def fold(h, v):
-    """Fold a value into a hash state (boost::hash_combine-style)."""
-    h = h.astype(np.uint32) if hasattr(h, "astype") else np.uint32(h)
-    v = v.astype(np.uint32) if hasattr(v, "astype") else np.uint32(v)
-    return lowbias32(h ^ ((v * _GOLDEN).astype(np.uint32)))
+    """Fold a value into a hash state (boost::hash_combine-style).
+
+    Same scalar-vs-array split as ``lowbias32`` (uint32-clean wraparound on
+    both paths, identical results)."""
+    if _is_scalar_int(h) and _is_scalar_int(v):
+        return lowbias32((int(h) ^ ((int(v) * 0x9E3779B9) & 0xFFFFFFFF)) & 0xFFFFFFFF)
+    if _is_scalar_int(v):
+        vg = np.uint32((int(v) * 0x9E3779B9) & 0xFFFFFFFF)
+    else:
+        vg = (v.astype(np.uint32) * _GOLDEN).astype(np.uint32)
+    if _is_scalar_int(h):
+        h = np.uint32(int(h) & 0xFFFFFFFF)
+    else:
+        h = h.astype(np.uint32)
+    return lowbias32(h ^ vg)
 
 
 def _as_u32(v):

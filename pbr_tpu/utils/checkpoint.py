@@ -25,15 +25,22 @@ def _flatten(tree: Any) -> Tuple[Dict[str, np.ndarray], Any]:
 
 
 def save(path: str, tree: Any, meta: Optional[dict] = None) -> None:
-    """Save a pytree checkpoint. ``path`` is a directory."""
+    """Save a pytree checkpoint. ``path`` is a directory.
+
+    The npz fallback engages only when orbax is *not importable*; a real
+    orbax save failure (corrupt state, version skew) propagates — silently
+    degrading would make it indistinguishable from orbax-not-installed.
+    """
     os.makedirs(path, exist_ok=True)
     try:
         import orbax.checkpoint as ocp
-
+    except ImportError:
+        ocp = None
+    if ocp is not None:
         ckpt = ocp.PyTreeCheckpointer()
         ckpt.save(os.path.join(path, "state"), tree, force=True)
         backend = "orbax"
-    except Exception:
+    else:
         arrays, _ = _flatten(tree)
         np.savez(os.path.join(path, "state.npz"), **arrays)
         backend = "npz"
