@@ -34,6 +34,19 @@ def main() -> None:
     ap.add_argument("--frames-per-step", type=int, default=8, dest="frames_per_step")
     ap.add_argument("--bvh", action="store_true", help="force BVH intersector")
     ap.add_argument(
+        "--scene",
+        default="cornell",
+        help="'cornell' (default, the BASELINE metric) or 'soup:N' — N random "
+        "triangles under an orb light (milestone config 5's geometry leg; "
+        "always BVH-accelerated)",
+    )
+    ap.add_argument(
+        "--intersector",
+        default=None,
+        choices=["brute", "gemm", "pallas", "bvh", "pallas_bvh"],
+        help="override the intersector dispatch (default: auto)",
+    )
+    ap.add_argument(
         "--no-compact",
         action="store_true",
         help="disable live-lane compaction of the extension bounces",
@@ -65,12 +78,35 @@ def main() -> None:
     from pbr_tpu.utils.config import RenderSettings
 
     size = 256 if args.quick else args.size
-    obj, mtl, li = cornell_box()
-    # TPU-first intersector choice: brute-force beats BVH traversal for a
-    # 34-triangle scene (no gathers, no divergence); the BVH path serves
-    # large scenes. --bvh overrides.
-    scene, _ = scene_from_text(obj, mtl, li, use_bvh=args.bvh)
-    cam = make_camera_state(eye=(0.0, 1.0, 3.2), center_dir=(0.0, 0.0, 1.0))
+    if args.scene.startswith("soup:"):
+        from pbr_tpu.scene.procedural import random_soup
+
+        n_tris = int(args.scene.split(":")[1])
+        mtl = (
+            "newmtl grey\nKd 0.62 0.62 0.62\nKs 1.0 1.0 1.0\nrough 1.0\np 1.0\n"
+            "nu 0\nnv 0\nRs 0.05\nRd 0.95\n"
+        )
+        li = "newlight orb\ntype 2\nrgb 1.6 1.5 1.4\npos 0.0 2.4 0.0\nradius 0.09\n"
+        obj = random_soup(n_tris, seed=11).replace(
+            "o soup\n", "o soup\nusemtl grey\n", 1
+        )
+        t_build = time.time()
+        scene, _ = scene_from_text(obj, mtl, li, use_bvh=True)
+        print(
+            f"[bench] soup:{n_tris}: BVH of {scene.bvh.count} nodes built in "
+            f"{time.time() - t_build:.2f}s",
+            file=sys.stderr,
+        )
+        cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
+        scene_tag = f"soup{n_tris}"
+    else:
+        obj, mtl, li = cornell_box()
+        # TPU-first intersector choice: brute-force beats BVH traversal for a
+        # 34-triangle scene (no gathers, no divergence); the BVH path serves
+        # large scenes. --bvh overrides.
+        scene, _ = scene_from_text(obj, mtl, li, use_bvh=args.bvh)
+        cam = make_camera_state(eye=(0.0, 1.0, 3.2), center_dir=(0.0, 0.0, 1.0))
+        scene_tag = "cornell"
     settings = RenderSettings(
         width=size,
         height=size,
@@ -98,6 +134,7 @@ def main() -> None:
         ),
         compact_block=args.block,
         remat=args.remat,
+        **({"intersector": args.intersector} if args.intersector else {}),
     )
 
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)
@@ -211,7 +248,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"rays/s/chip ({mode}) 1spp {size}x{size} cornell",
+                "metric": f"rays/s/chip ({mode}) 1spp {size}x{size} {scene_tag}",
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / 200e6, 4),

@@ -11,8 +11,12 @@ is full-width VPU work. Fed with Morton/octant-sorted rays (coherent tiles
 visit near the per-ray optimal node count), this removes both the gather
 cost and the global-lockstep divergence of the XLA walk.
 
-Capacity: node + triangle tables must fit VMEM (~16 MB) — roughly 100k
-triangles. Larger scenes fall back to the chunked XLA walk.
+Capacity: the node and triangle tables are (rows, 16) f32 VMEM arrays, and
+VMEM tiles f32 as (8, 128) — each row occupies a full 128-lane tile line
+(512 B), not 64 B. With ~16 MB VMEM and room for ray tiles, the budget is
+~24k table rows ≈ 10k triangles (nodes ≈ 1.2×faces with 2-face leaves).
+Larger scenes fall back to the chunked XLA walk (``intersect_scene`` auto
+dispatch checks ``packet_fits``).
 """
 
 from __future__ import annotations
@@ -30,26 +34,28 @@ _TILE_ROWS = 8
 _LANES = 128
 _TILE = _TILE_ROWS * _LANES
 
-PALLAS_BVH_MAX_FACES = 100_000
+# Max (nodes + faces) table rows resident in VMEM: 24576 rows x 512 B = 12 MB,
+# leaving ~4 MB for ray tiles and double buffering.
+PALLAS_BVH_MAX_ROWS = 24_576
 
 
-def _kernel(n_nodes, max_leaf, nodes_ref, tris_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, f_ref):
-    """One (8, 128) ray tile through the whole BVH.
+def packet_fits(bvh: LinearBVH, tris: TrianglesSoA) -> bool:
+    """True when the scene's node+triangle tables fit the VMEM row budget."""
+    return bvh.count + int(tris.mtl.shape[0]) <= PALLAS_BVH_MAX_ROWS
 
-    nodes_ref: (N, 16) f32 VMEM — [bbmin.xyz, bbmax.xyz, leaf_first,
-    leaf_count, exit, pad...]; tris_ref: (F, 16) f32 VMEM — [v0, e1, e2,
-    pad...]. Scalar row reads drive the tile-uniform cursor.
+
+def _traverse_tile(n_nodes, max_leaf, nodes_ref, tris_ref,
+                   ox, oy, oz, dx, dy, dz, t_limit=None):
+    """Tile-uniform stackless walk of one (8, 128) ray tile.
+
+    ``t_limit`` None: nearest-hit — returns (t_best, f_best).
+    ``t_limit`` array: any-hit with t < t_limit (NEE shadow leg, the analog
+    of traverseShadows' early-out, pt_bvh.cl:133-177) — returns a bool mask;
+    the walk stops early once every ray in the tile is occluded.
     """
     import jax
     import jax.numpy as jnp
 
-    ox = ox_ref[...]
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    dx = dx_ref[...]
-    dy = dy_ref[...]
-    dz = dz_ref[...]
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
@@ -64,15 +70,21 @@ def _kernel(n_nodes, max_leaf, nodes_ref, tris_ref,
         hi = jnp.where(hi == hi, hi, jnp.inf)
         return lo, hi
 
+    any_hit_mode = t_limit is not None
+
     def body(carry):
-        i, t_best, f_best = carry
+        i, t_best, f_best, occ = carry
         rec = nodes_ref[i, :]
         lo_x, hi_x = slab1(rec[0], rec[3], ox, inv_x)
         lo_y, hi_y = slab1(rec[1], rec[4], oy, inv_y)
         lo_z, hi_z = slab1(rec[2], rec[5], oz, inv_z)
         t_near = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
         t_far = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
-        hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5)) & (t_best > t_near)
+        hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5))
+        if any_hit_mode:
+            hit = hit & ~occ & (t_limit > t_near)
+        else:
+            hit = hit & (t_best > t_near)
         any_hit = jnp.any(hit)
 
         leaf_first = rec[6].astype(jnp.int32)
@@ -81,7 +93,7 @@ def _kernel(n_nodes, max_leaf, nodes_ref, tris_ref,
         is_leaf = leaf_first >= 0
 
         def leaf_tests(args):
-            t_best, f_best = args
+            t_best, f_best, occ = args
             for k in range(max_leaf):
                 fidx = jnp.clip(leaf_first + k, 0, tris_ref.shape[0] - 1)
                 tri = tris_ref[fidx, :]
@@ -101,37 +113,116 @@ def _kernel(n_nodes, max_leaf, nodes_ref, tris_ref,
                 t = (tri[6] * qx + tri[7] * qy + tri[8] * qz) * inv_det
                 u = (tx * px + ty * py + tz * pz) * inv_det
                 v = (dx * qx + dy * qy + dz * qz) * inv_det
-                ok = (
+                valid = (
                     hit
                     & (k < leaf_count)
                     & (t >= np.float32(EPSILON5))
                     & (u >= 0.0)
                     & (v >= 0.0)
                     & (u + v <= 1.0)
-                    & (t < t_best)
                 )
-                t_best = jnp.where(ok, t, t_best)
-                f_best = jnp.where(ok, leaf_first + k, f_best)
-            return t_best, f_best
+                if any_hit_mode:
+                    occ = occ | (valid & (t < t_limit))
+                else:
+                    ok = valid & (t < t_best)
+                    t_best = jnp.where(ok, t, t_best)
+                    f_best = jnp.where(ok, leaf_first + k, f_best)
+            return t_best, f_best, occ
 
-        t_best, f_best = jax.lax.cond(
-            any_hit & is_leaf, leaf_tests, lambda a: a, (t_best, f_best)
+        t_best, f_best, occ = jax.lax.cond(
+            any_hit & is_leaf, leaf_tests, lambda a: a, (t_best, f_best, occ)
         )
         nxt = jnp.where(any_hit, i + 1, exit_i)
-        return nxt, t_best, f_best
+        return nxt, t_best, f_best, occ
 
     def cond(carry):
+        if any_hit_mode:
+            return (carry[0] < n_nodes) & ~jnp.all(carry[3])
         return carry[0] < n_nodes
 
     t0 = jnp.full(ox.shape, INF, dtype=jnp.float32)
     f0 = jnp.full(ox.shape, -1, dtype=jnp.int32)
-    _, t_best, f_best = jax.lax.while_loop(cond, body, (np.int32(0), t0, f0))
+    occ0 = jnp.zeros(ox.shape, dtype=jnp.bool_)
+    _, t_best, f_best, occ = jax.lax.while_loop(
+        cond, body, (np.int32(0), t0, f0, occ0)
+    )
+    if any_hit_mode:
+        return occ
+    return t_best, f_best
+
+
+def _kernel(n_nodes, max_leaf, nodes_ref, tris_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, f_ref):
+    """One (8, 128) ray tile through the whole BVH.
+
+    nodes_ref: (N, 16) f32 VMEM — [bbmin.xyz, bbmax.xyz, leaf_first,
+    leaf_count, exit, pad...]; tris_ref: (F, 16) f32 VMEM — [v0, e1, e2,
+    pad...]. Scalar row reads drive the tile-uniform cursor.
+    """
+    t_best, f_best = _traverse_tile(
+        n_nodes, max_leaf, nodes_ref, tris_ref,
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...],
+    )
     t_ref[...] = t_best
     f_ref[...] = f_best
 
 
+def _kernel_nee(n_nodes, max_leaf, nodes_ref, tris_ref, lp_ref,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                t_ref, f_ref, occ_ref):
+    """Fused primary nearest-hit + NEE shadow any-hit through the BVH.
+
+    The shadow leg re-derives the hit point / light direction with exactly
+    the integrator's guarded math (t_safe for missed lanes, safe_sqrt /
+    safe_div semantics) — the same contract as the brute Pallas NEE kernel
+    (ops/pallas_intersect.py::_kernel_nee) so either is a drop-in behind
+    ``intersect_scene``. ``lp_ref``: (3,) SMEM — light 0 position (NEE
+    always samples lights[0], pathtracing.cl:188-199).
+    """
+    import jax.numpy as jnp
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+
+    t_best, f_best = _traverse_tile(
+        n_nodes, max_leaf, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz
+    )
+    t_ref[...] = t_best
+    f_ref[...] = f_best
+
+    one = np.float32(1.0)
+    hit = t_best < INF
+    ts = jnp.where(hit, t_best, one)
+    hx = ox + dx * ts
+    hy = oy + dy * ts
+    hz = oz + dz * ts
+    lx = lp_ref[0] - hx
+    ly = lp_ref[1] - hy
+    lz = lp_ref[2] - hz
+    len2 = lx * lx + ly * ly + lz * lz
+    pos = len2 > 0.0
+    t_light = jnp.where(pos, jnp.sqrt(jnp.where(pos, len2, one)), 0.0)
+    okd = jnp.abs(t_light) > np.float32(1e-12)
+    inv = jnp.where(okd, one / jnp.where(okd, t_light, one), 0.0)
+    sx = lx * inv
+    sy = ly * inv
+    sz = lz * inv
+
+    occ = _traverse_tile(
+        n_nodes, max_leaf, nodes_ref, tris_ref, hx, hy, hz, sx, sy, sz,
+        t_limit=t_light,
+    )
+    occ_ref[...] = occ.astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=None)
-def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int, interpret: bool = False):
+def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int,
+                nee: bool = False, interpret: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -143,26 +234,38 @@ def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int, interpret:
     )
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    t_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    f_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    if nee:
+        lp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_nee, n_nodes, max_leaf),
+            grid=grid,
+            in_specs=[table_spec, table_spec, lp_spec] + [ray_spec] * 6,
+            out_specs=(ray_spec, ray_spec, ray_spec),
+            out_shape=(t_shape, f_shape, f_shape),
+            interpret=interpret,
+        )
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, max_leaf),
         grid=grid,
         in_specs=[table_spec, table_spec] + [ray_spec] * 6,
         out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
-        ),
+        out_shape=(t_shape, f_shape),
         interpret=interpret,
     )
 
 
 def intersect_bvh_packet(
     xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA,
-    max_leaf: int = 2, sort: bool = True, interpret: bool = False,
+    max_leaf: int = 2, sort: bool = True, light_pos=None, interpret: bool = False,
 ):
     """Nearest-hit via packet traversal (jax + TPU only). Same contract as
     ``intersect_brute``; rays are Morton/octant-sorted into coherent tiles
-    when ``sort`` (results are per-ray, so sorting is exact)."""
+    when ``sort`` (results are per-ray, so sorting is exact).
+
+    With ``light_pos`` (scalar Vec3, light 0) the NEE shadow any-hit runs
+    fused in the same kernel and ``(t, face, occluded)`` is returned."""
     import jax.numpy as jnp
 
     from pbr_tpu.ops.traverse import _coherence_keys
@@ -210,8 +313,32 @@ def intersect_bvh_packet(
         axis=1,
     )  # (F, 16)
 
-    call = _build_call(n, nf, total // _LANES, max_leaf, interpret)
-    t, f = call(nodes, trisrow, prep(ox), prep(oy), prep(oz), prep(dx), prep(dy), prep(dz))
+    rays = (prep(ox), prep(oy), prep(oz), prep(dx), prep(dy), prep(dz))
+    if light_pos is not None:
+        import jax
+
+        lp = jax.lax.stop_gradient(
+            jnp.stack(
+                [
+                    jnp.asarray(light_pos.x, jnp.float32),
+                    jnp.asarray(light_pos.y, jnp.float32),
+                    jnp.asarray(light_pos.z, jnp.float32),
+                ]
+            )
+        )
+        call = _build_call(n, nf, total // _LANES, max_leaf, nee=True, interpret=interpret)
+        t, f, occ = call(nodes, trisrow, lp, *rays)
+        t, f, occ = t.reshape(-1), f.reshape(-1), occ.reshape(-1)
+        if sort:
+            inv = jnp.argsort(perm)
+            t, f, occ = t[inv], f[inv], occ[inv]
+        return (
+            t[:flat].reshape(shape),
+            f[:flat].reshape(shape),
+            occ[:flat].reshape(shape) != 0,
+        )
+    call = _build_call(n, nf, total // _LANES, max_leaf, interpret=interpret)
+    t, f = call(nodes, trisrow, *rays)
     t = t.reshape(-1)
     f = f.reshape(-1)
     if sort:

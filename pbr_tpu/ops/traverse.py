@@ -317,7 +317,9 @@ def intersect_scene(
 
     ``mode``: 'auto' (BVH if the scene has one, else brute), 'brute'
     (elementwise sweep), 'gemm' (MXU matmul formulation), 'pallas' (fused
-    on-chip kernel, jax+TPU only), 'bvh'.
+    on-chip brute kernel, jax+TPU only), 'bvh' (chunked XLA gather walk),
+    'pallas_bvh' (tile-uniform packet traversal kernel, jax+TPU only;
+    tables must fit VMEM — ops/pallas_bvh.py).
 
     Differentiability contract (shared by every mode): the *search* for the
     nearest face runs detached — visibility is non-differentiable by
@@ -335,16 +337,28 @@ def intersect_scene(
     """
     o_s = _stop_grad3(xp, o)
     d_s = _stop_grad3(xp, d)
+    occ = None
     if mode == "auto":
-        if scene.bvh is not None:
-            mode = "bvh"
-        elif _is_jax(xp):
+        on_tpu = False
+        if _is_jax(xp):
             import jax
 
-            # On TPU the fused Pallas kernel is ~2.5x the XLA brute sweep
-            # and bitwise-identical to it; elsewhere (CPU tests) the plain
-            # sweep keeps numpy/jax parity.
-            mode = "pallas" if jax.default_backend() == "tpu" else "brute"
+            on_tpu = jax.default_backend() == "tpu"
+        if scene.bvh is not None:
+            # On TPU the packet Pallas kernel removes the gather-boundness
+            # of the XLA walk whenever the node+triangle tables fit VMEM;
+            # the chunked XLA walk covers everything bigger. CPU/tests keep
+            # the XLA walk for numpy/jax parity.
+            from pbr_tpu.ops.pallas_bvh import packet_fits
+
+            if on_tpu and packet_fits(scene.bvh, scene.tris):
+                mode = "pallas_bvh"
+            else:
+                mode = "bvh"
+        elif on_tpu:
+            # The fused brute Pallas kernel is ~2.5x the XLA brute sweep
+            # and bitwise-identical to it.
+            mode = "pallas"
         else:
             mode = "brute"
     if mode == "bvh":
@@ -354,6 +368,18 @@ def intersect_scene(
             )
         else:
             _, face = intersect_bvh(xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf)
+    elif mode == "pallas_bvh":
+        from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet
+
+        if light_pos is not None:
+            _, face, occ = intersect_bvh_packet(
+                xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf,
+                light_pos=light_pos,
+            )
+        else:
+            _, face = intersect_bvh_packet(
+                xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf
+            )
     elif mode == "gemm":
         from pbr_tpu.ops.gemm_intersect import intersect_gemm
 
@@ -387,5 +413,5 @@ def intersect_scene(
     t_re, _ = moller_trumbore(xp, o, d, v0, e1, e2)
     t = xp.where(face >= 0, t_re, INF)
     if light_pos is not None:
-        return t, face, (occ if mode == "pallas" else None)
+        return t, face, occ  # occ is None unless a fused mode produced it
     return t, face
