@@ -97,13 +97,20 @@ def _sweep_sah(
 
 
 def build_bvh(
-    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, cfg: BVHConfig = BVHConfig()
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, cfg: BVHConfig = BVHConfig(),
+    face_min: np.ndarray = None, face_max: np.ndarray = None,
 ) -> tuple:
     """Build a linear BVH over triangles given by vertex arrays (F, 3) each.
 
     Returns ``(LinearBVH, leaf_order, BuildStats)`` where ``leaf_order`` is
     the permutation putting triangles into leaf order
     (``tris_leaf = permute_triangles(tris, leaf_order)``).
+
+    ``face_min``/``face_max`` (F, 3) override the per-face AABBs — used for
+    Phong tessellation, where curved-patch leaves must be inflated by
+    thickness + sidedrop so the patch never escapes its box (the analog of
+    the reference building its tree from triCalcAABB's inflated bounds,
+    MathHelp.cpp:250-310; see ``ops.phongtess.phongtess_face_aabbs``).
     """
     t = Timer()
     v0 = np.asarray(v0, dtype=np.float32)
@@ -113,8 +120,12 @@ def build_bvh(
     if nf == 0:
         raise ValueError("build_bvh: empty triangle set")
 
-    fmin = np.minimum(np.minimum(v0, v1), v2)
-    fmax = np.maximum(np.maximum(v0, v1), v2)
+    if face_min is not None:
+        fmin = np.asarray(face_min, dtype=np.float32)
+        fmax = np.asarray(face_max, dtype=np.float32)
+    else:
+        fmin = np.minimum(np.minimum(v0, v1), v2)
+        fmax = np.maximum(np.maximum(v0, v1), v2)
     # Conservative epsilon padding (absolute + relative): the Möller-Trumbore
     # acceptance region computed in f32 can exceed the exact triangle bounds
     # by ULPs, and rays lying exactly in a face plane probe the box surface

@@ -264,9 +264,11 @@ def _shadow_occluded(xp, scene, hit_p, l_dir, t_light, max_leaf, mode, pt_alpha=
     tessellation enabled, shadow rays test the curved patches too, as the
     reference's shared checkFaceIntersection did."""
     if pt_alpha > 0.0:
-        from pbr_tpu.ops.phongtess import intersect_brute_phongtess
+        from pbr_tpu.ops.phongtess import intersect_scene_phongtess
 
-        t_sh, _, _, _ = intersect_brute_phongtess(xp, hit_p, l_dir, scene.tris, F32(pt_alpha))
+        t_sh, _, _, _ = intersect_scene_phongtess(
+            xp, hit_p, l_dir, scene, F32(pt_alpha), max_leaf=max_leaf
+        )
     else:
         t_sh, _ = intersect_scene(xp, hit_p, l_dir, scene, max_leaf=max_leaf, mode=mode)
     return t_sh < t_light
@@ -368,10 +370,14 @@ def trace_rays(
             # ---- intersect -------------------------------------------------
             occ_fused = None  # NEE occlusion fused into the intersect kernel
             if settings.phong_tessellation > 0.0:
-                from pbr_tpu.ops.phongtess import intersect_brute_phongtess
+                # Curved patches trace through the BVH when the scene has
+                # one (leaf AABBs inflated at build time — scene.build
+                # phong_tess_alpha); brute sweep otherwise.
+                from pbr_tpu.ops.phongtess import intersect_scene_phongtess
 
-                t, face, pt_u, pt_v = intersect_brute_phongtess(
-                    xp, o, d, scene.tris, F32(settings.phong_tessellation)
+                t, face, pt_u, pt_v = intersect_scene_phongtess(
+                    xp, o, d, scene, F32(settings.phong_tessellation),
+                    max_leaf=max_leaf,
                 )
             else:
                 if nee_enabled:

@@ -306,6 +306,75 @@ def patch_constants(P1, P2, P3, N1, N2, N3, alpha):
     return C1, C2, C3, E12, E20
 
 
+def _tess_point(p1, p2, p3, n1, n2, n3, alpha, u, v):
+    """Vectorized MathHelp::phongTessellate (MathHelp.cpp:213-226) on
+    (F, 3) NumPy arrays; ``u``/``v`` are scalars or (F, 1) arrays."""
+    dot = lambda a, b: np.sum(a * b, axis=-1, keepdims=True)  # noqa: E731
+    proj = lambda q, p, n: q - dot(q - p, n) * n  # noqa: E731
+    w = 1.0 - u - v
+    p_bary = p1 * u + p2 * v + p3 * w
+    p_tess = (
+        proj(p_bary, p1, n1) * u + proj(p_bary, p2, n2) * v + proj(p_bary, p3, n3) * w
+    )
+    return (1.0 - alpha) * p_bary + alpha * p_tess
+
+
+def phongtess_face_aabbs(p1, p2, p3, n1, n2, n3, alpha):
+    """Per-face AABBs inflated to cover the curved Phong patch — the
+    build-time bound that lets curved patches trace *through* the BVH (the
+    reference's triCalcAABB / triThicknessAndSidedrop, MathHelp.cpp:250-378).
+
+    Deliberate improvement over the reference: its bound samples the patch
+    at one interior extremum + nine fixed (u,v) sidedrop points, which is
+    NOT conservative — the patch can escape between samples (consistent with
+    the artifacts its CHANGELOG notes). The Phong-tessellated surface is
+    exactly a quadratic Bézier triangle: with c = (u, v, w) barycentrics,
+    p(c) = Σᵢ cᵢ² pᵢ + Σ_{i<j} cᵢcⱼ q_ij where
+    q_ij = (1-α)(pᵢ+pⱼ) + α(πᵢ(pⱼ) + πⱼ(pᵢ)) and πᵢ is the (affine)
+    projection onto vertex i's tangent plane. In Bernstein form the six
+    control points are {p₁, p₂, p₃, q₁₂/2, q₂₃/2, q₁₃/2}; Bernstein weights
+    are a nonneg partition of unity, so the control points' AABB *provably*
+    contains the patch — and it is cheaper than the reference's 13
+    tessellation evaluations. Faces whose vertex normals agree (within the
+    reference's 1e-6 test, MathHelp.cpp:281-289) keep the flat AABB.
+
+    Inputs: (F, 3) float arrays. Returns ``(bb_min, bb_max)`` (F, 3) f32.
+    """
+    p1 = np.asarray(p1, dtype=np.float32)
+    p2 = np.asarray(p2, dtype=np.float32)
+    p3 = np.asarray(p3, dtype=np.float32)
+    n1 = np.asarray(n1, dtype=np.float32)
+    n2 = np.asarray(n2, dtype=np.float32)
+    n3 = np.asarray(n3, dtype=np.float32)
+    alpha = np.float32(alpha)
+    dot = lambda a, b: np.sum(a * b, axis=-1, keepdims=True)  # noqa: E731
+    proj = lambda q, p, n: q - dot(q - p, n) * n  # noqa: E731
+
+    bb_min = np.minimum(np.minimum(p1, p2), p3)
+    bb_max = np.maximum(np.maximum(p1, p2), p3)
+
+    test = (n1 - n2) + (n2 - n3)
+    curved = np.any(np.abs(test) > 1e-6, axis=-1, keepdims=True)
+    if alpha <= 0.0 or not curved.any():
+        return bb_min, bb_max
+
+    with np.errstate(all="ignore"):
+        grow_min, grow_max = bb_min.copy(), bb_max.copy()
+        for (pa, na), (pb, nb) in (
+            ((p1, n1), (p2, n2)),
+            ((p2, n2), (p3, n3)),
+            ((p1, n1), (p3, n3)),
+        ):
+            q = (1.0 - alpha) * (pa + pb) + alpha * (proj(pb, pa, na) + proj(pa, pb, nb))
+            b = np.float32(0.5) * q  # mid-edge Bézier control point
+            grow_min = np.minimum(grow_min, b)
+            grow_max = np.maximum(grow_max, b)
+
+    bb_min = np.where(curved, grow_min, bb_min)
+    bb_max = np.where(curved, grow_max, bb_max)
+    return bb_min.astype(np.float32), bb_max.astype(np.float32)
+
+
 def face_is_flat(xp, tris: TrianglesSoA):
     """Per-face flag: all three vertex normals equal (checkFaceIntersection,
     pt_intersect.cl:151-165) — flat faces use plain Möller-Trumbore."""
@@ -315,6 +384,155 @@ def face_is_flat(xp, tris: TrianglesSoA):
 
 def _face_vec(v: Vec3, f: int) -> Vec3:
     return Vec3(v.x[f], v.y[f], v.z[f])
+
+
+def intersect_bvh_phongtess(
+    xp, o: Vec3, d: Vec3, bvh, tris: TrianglesSoA, alpha, max_leaf: int = 2
+):
+    """Nearest-hit via the stackless BVH with per-face flat/curved dispatch
+    (the reference's shared leaf test, pt_intersect.cl:142-176, reached
+    through traverse, pt_bvh.cl:82-123). Same contract and tie-breaking as
+    ``intersect_brute_phongtess`` — the BVH must have been built with
+    ``phongtess_face_aabbs`` inflation or curved hits outside the flat
+    triangle bounds would be culled.
+
+    Returns ``(t, face, u, v)``.
+    """
+    from pbr_tpu.ops.intersect import gather_vec3, slab_box
+
+    n = bvh.count
+    nf = int(tris.mtl.shape[0])
+    inv_d = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+    flat = face_is_flat(xp, tris)
+
+    idx0 = xp.full_like(o.x, 0, dtype=xp.int32)
+    t0 = xp.full_like(o.x, INF)
+    f0 = xp.full_like(o.x, -1, dtype=xp.int32)
+    u0 = xp.zeros_like(o.x)
+    v0_ = xp.zeros_like(o.x)
+
+    def step(state):
+        idx, t_best, f_best, u_best, v_best = state
+        safe = xp.minimum(idx, n - 1)
+        bb_min = gather_vec3(bvh.bb_min, safe)
+        bb_max = gather_vec3(bvh.bb_max, safe)
+        leaf_first = bvh.leaf_first[safe]
+        leaf_count = bvh.leaf_count[safe]
+        exit_i = bvh.exit[safe]
+
+        t_near, t_far, hit_box = slab_box(xp, o, inv_d, bb_min, bb_max)
+        hit_box = hit_box & (t_far > F32(EPSILON5)) & (t_best > t_near)
+        do_leaf = hit_box & (leaf_first >= 0)
+
+        for k in range(max_leaf):
+            fidx = xp.clip(leaf_first + k, 0, nf - 1)
+            P1 = Vec3(tris.v0.x[fidx], tris.v0.y[fidx], tris.v0.z[fidx])
+            e1 = Vec3(tris.e1.x[fidx], tris.e1.y[fidx], tris.e1.z[fidx])
+            e2 = Vec3(tris.e2.x[fidx], tris.e2.y[fidx], tris.e2.z[fidx])
+            t_f, valid_f = moller_trumbore(xp, o, d, P1, e1, e2)
+            N1 = Vec3(tris.n0.x[fidx], tris.n0.y[fidx], tris.n0.z[fidx])
+            N2 = Vec3(tris.n1.x[fidx], tris.n1.y[fidx], tris.n1.z[fidx])
+            N3 = Vec3(tris.n2.x[fidx], tris.n2.y[fidx], tris.n2.z[fidx])
+            t_c, uu, vv, valid_c = phongtess_patch_intersect(
+                xp, o, d, P1, P1 + e1, P1 + e2, N1, N2, N3, alpha, t_best
+            )
+            is_flat = flat[fidx]
+            t = xp.where(is_flat, t_f, t_c)
+            valid = xp.where(is_flat, valid_f, valid_c & (t_c >= F32(EPSILON5)))
+            uu = xp.where(is_flat, xp.zeros_like(uu), uu)
+            vv = xp.where(is_flat, xp.zeros_like(vv), vv)
+            better = do_leaf & (k < leaf_count) & valid & (t < t_best)
+            t_best = xp.where(better, t, t_best)
+            f_best = xp.where(better, fidx.astype(xp.int32), f_best)
+            u_best = xp.where(better, uu, u_best)
+            v_best = xp.where(better, vv, v_best)
+
+        nxt = xp.where(hit_box, safe + 1, exit_i)
+        idx = xp.where(idx >= n, n, nxt).astype(xp.int32)
+        return idx, t_best, f_best, u_best, v_best
+
+    state = (idx0, t0, f0, u0, v0_)
+    if xp.__name__.startswith("jax"):
+        import jax
+
+        return jax.lax.while_loop(
+            lambda s: xp.any(s[0] < n), step, state
+        )[1:]
+    with np.errstate(all="ignore"):
+        while np.any(state[0] < n):
+            state = step(state)
+    return state[1:]
+
+
+def intersect_scene_phongtess(xp, o: Vec3, d: Vec3, scene, alpha, max_leaf: int = 2):
+    """Phong-tess nearest-hit dispatch: BVH walk when the scene has one
+    (built with inflated AABBs), brute sweep otherwise. Returns
+    ``(t, face, u, v)``.
+
+    Differentiability contract (mirrors ``intersect_scene``): the BVH search
+    runs detached (while_loop has no reverse mode), then the winner's ``t``
+    is re-evaluated differentiably — Möller-Trumbore for flat winners, the
+    tessellated-point/domain formula for curved ones (bitwise the same
+    forward value the search produced, since it is the same expression on
+    the same inputs). Gradients w.r.t. o and d flow through the re-eval;
+    geometry and the patch (u, v) are detached (detached-sampling policy).
+    """
+    from pbr_tpu.ops.intersect import gather_vec3
+
+    if scene.bvh is None:
+        return intersect_brute_phongtess(xp, o, d, scene.tris, alpha)
+
+    is_jax = xp.__name__.startswith("jax")
+    o_s, d_s = o, d
+    if is_jax:
+        import jax
+
+        sg = jax.lax.stop_gradient
+        o_s = Vec3(sg(o.x), sg(o.y), sg(o.z))
+        d_s = Vec3(sg(d.x), sg(d.y), sg(d.z))
+    _, face, uu, vv = intersect_bvh_phongtess(
+        xp, o_s, d_s, scene.bvh, scene.tris, alpha, max_leaf=max_leaf
+    )
+
+    tris = scene.tris
+    if is_jax:
+        import jax
+
+        tris = jax.tree_util.tree_map(jax.lax.stop_gradient, tris)
+        uu = jax.lax.stop_gradient(uu)
+        vv = jax.lax.stop_gradient(vv)
+    safe = xp.maximum(face, 0)
+    P1 = gather_vec3(tris.v0, safe)
+    e1 = gather_vec3(tris.e1, safe)
+    e2 = gather_vec3(tris.e2, safe)
+    t_f, _ = moller_trumbore(xp, o, d, P1, e1, e2)
+
+    N1 = gather_vec3(tris.n0, safe)
+    N2 = gather_vec3(tris.n1, safe)
+    N3 = gather_vec3(tris.n2, safe)
+    P2 = P1 + e1
+    P3 = P1 + e2
+    ww = 1.0 - uu - vv
+    p_bary = P1 * uu + P2 * vv + P3 * ww
+    p_tess = (
+        project_on_plane(p_bary, P1, N1) * uu
+        + project_on_plane(p_bary, P2, N2) * vv
+        + project_on_plane(p_bary, P3, N3) * ww
+    )
+    pt = p_bary * (1.0 - alpha) + p_tess * alpha - o
+    dabs = Vec3(xp.abs(d_s.x), xp.abs(d_s.y), xp.abs(d_s.z))
+    domain = xp.where(dabs.y > dabs.z, 1, 2).astype(xp.int32)
+    domain = xp.where(
+        (dabs.x > dabs.y), xp.where(dabs.x > dabs.z, 0, 2).astype(xp.int32), domain
+    )
+    t_c = _guard_div(
+        xp, _axis_component(xp, pt, domain), _axis_component(xp, d, domain)
+    )
+
+    flat_w = face_is_flat(xp, tris)[safe]
+    t = xp.where(flat_w, t_f, t_c)
+    t = xp.where(face >= 0, t, INF)
+    return t, face, uu, vv
 
 
 def intersect_brute_phongtess(xp, o: Vec3, d: Vec3, tris: TrianglesSoA, alpha):

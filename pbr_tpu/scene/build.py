@@ -27,8 +27,15 @@ def build_scene(
     obj: ObjData,
     bvh_cfg: Optional[BVHConfig] = None,
     use_bvh: bool = True,
+    phong_tess_alpha: float = 0.0,
 ) -> Scene:
-    """Assemble a Scene from parsed OBJ data (host-side, NumPy)."""
+    """Assemble a Scene from parsed OBJ data (host-side, NumPy).
+
+    ``phong_tess_alpha`` > 0 builds the BVH over curved-patch-inflated leaf
+    AABBs (thickness + sidedrop, MathHelp.cpp:250-378) so the renderer can
+    trace Phong-tessellated patches *through* the tree instead of brute
+    force; pass the same alpha as ``RenderSettings.phong_tessellation``.
+    """
     tris = make_triangles(
         obj.vertices,
         obj.faces_v,
@@ -42,11 +49,21 @@ def build_scene(
         v1 = (tris.v0 + tris.e1).stack(np)
         v2 = (tris.v0 + tris.e2).stack(np)
         cfg = bvh_cfg or BVHConfig()
+        face_min = face_max = None
+        if phong_tess_alpha > 0.0:
+            from pbr_tpu.ops.phongtess import phongtess_face_aabbs
+
+            face_min, face_max = phongtess_face_aabbs(
+                v0, v1, v2,
+                tris.n0.stack(np), tris.n1.stack(np), tris.n2.stack(np),
+                phong_tess_alpha,
+            )
         # The native C++ builder is byte-identical to the NumPy one
         # (tests/test_native.py); prefer it when the build is big enough
-        # for Python overhead to matter.
+        # for Python overhead to matter. (It has no inflated-AABB input,
+        # so Phong-tess builds use the NumPy builder.)
         bvh = None
-        if tris.count >= 4096:
+        if tris.count >= 4096 and face_min is None:
             try:
                 from pbr_tpu.accel.native import build_bvh_native
 
@@ -54,7 +71,9 @@ def build_scene(
             except RuntimeError:
                 bvh = None
         if bvh is None:
-            bvh, leaf_order, _ = build_bvh(v0, v1, v2, cfg)
+            bvh, leaf_order, _ = build_bvh(
+                v0, v1, v2, cfg, face_min=face_min, face_max=face_max
+            )
         tris = permute_triangles(tris, leaf_order)
     materials = obj.mtl.to_soa()
     lights = lights_to_soa(obj.lights) if obj.lights else no_lights()
@@ -80,6 +99,7 @@ def scene_from_text(
     lights_text: str = "",
     bvh_cfg: Optional[BVHConfig] = None,
     use_bvh: bool = True,
+    phong_tess_alpha: float = 0.0,
 ) -> Tuple[Scene, ObjData]:
     """Build a scene directly from OBJ/MTL/.lights text (procedural scenes
     and tests)."""
@@ -90,7 +110,12 @@ def scene_from_text(
     mtl = parse_mtl(mtl_text) if mtl_text else None
     lights = parse_lights(lights_text) if lights_text else []
     obj = parse_obj(obj_text, mtl=mtl, lights=lights)
-    return build_scene(obj, bvh_cfg=bvh_cfg, use_bvh=use_bvh), obj
+    return (
+        build_scene(
+            obj, bvh_cfg=bvh_cfg, use_bvh=use_bvh, phong_tess_alpha=phong_tess_alpha
+        ),
+        obj,
+    )
 
 
 def to_device(scene: Scene):
