@@ -65,7 +65,18 @@ def main() -> None:
         choices=["none", "save_isect"],
         help="backward-pass rematerialization policy",
     )
+    ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="dp-scaling harness on the virtual 8-device CPU mesh: rays/s "
+        "at dp=1/2/4/8 + parallel efficiency (methodology for the >=85% "
+        "multi-host gate; virtual devices share host cores, so this "
+        "measures sharding/collective overhead, not real chip speedup)",
+    )
     args = ap.parse_args()
+
+    if args.scaling:
+        return run_scaling(args)
 
     import jax
     import jax.numpy as jnp
@@ -252,6 +263,94 @@ def main() -> None:
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / 200e6, 4),
+            }
+        )
+    )
+
+
+def run_scaling(args) -> None:
+    """dp-scaling harness (BASELINE.md ≥85% multi-host efficiency gate).
+
+    Runs the SAME sharded render (parallel/mesh.py::sharded_render — the
+    production multi-chip path incl. the multihost pixel-id assembly) at
+    dp = 1/2/4/8 on a virtual 8-device CPU mesh and reports parallel
+    efficiency T1/(N·TN). On real hardware the identical code path shards
+    over pods (jax.distributed + global_mesh); these numbers validate that
+    the choreography adds no per-shard overhead — virtual devices share the
+    host's cores, so wall-clock speedup itself is bounded by core count.
+    """
+    import json
+    import os
+    import sys
+    import time
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.parallel.mesh import make_mesh, sharded_render
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.camera import make_camera_state
+    from pbr_tpu.scene.procedural import cornell_box
+    from pbr_tpu.utils.config import RenderSettings
+
+    size = 128 if args.quick else 256
+    obj, mtl, li = cornell_box()
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=False)
+    cam = make_camera_state(eye=(0.0, 1.0, 3.2), center_dir=(0.0, 0.0, 1.0))
+    settings = RenderSettings(
+        width=size, height=size, samples=1, max_depth=3, max_added_depth=2,
+        shadow_rays=1, anti_aliasing=0.7, sky_light=(0.85, 0.9, 1.0),
+        bounce_loop="scan",
+    )
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+
+    # Actual ray count (work is dp-invariant: same image, same rays).
+    res = trace_rays(
+        jnp, jscene, jcam, settings,
+        jnp.arange(size * size, dtype=jnp.int32), jnp.uint32(0), with_stats=True,
+    )
+    rays = int(res.n_path_rays) + int(res.n_shadow_rays)
+
+    iters = max(2, args.iters)
+    table = {}
+    for n_dp in (1, 2, 4, 8):
+        mesh = make_mesh(n_dp=n_dp, n_sp=1)
+        c, _ = sharded_render(mesh, jscene, jcam, settings, 1)  # compile
+        np.asarray(c.x)
+        t0 = time.time()
+        for i in range(iters):
+            c, _ = sharded_render(mesh, jscene, jcam, settings, i + 2)
+        np.asarray(c.x)
+        dt = (time.time() - t0) / iters
+        table[n_dp] = dt
+        # Virtual devices share the host's cores: total work is constant,
+        # so the observable is the choreography OVERHEAD factor T1/TN
+        # (1.0 = sharding adds nothing; on N real chips per-chip work is
+        # 1/N, making T1/TN the expected parallel efficiency).
+        eff = table[1] / dt
+        print(
+            f"[scaling] dp={n_dp}: {dt * 1e3:8.1f} ms/frame  "
+            f"{rays / dt / 1e6:7.2f} M rays/s  overhead-eff {eff:.2f}",
+            file=sys.stderr,
+        )
+
+    eff8 = table[1] / table[8]
+    print(
+        json.dumps(
+            {
+                "metric": f"dp-sharding overhead efficiency T1/T8 (virtual 8-dev CPU mesh, {size}x{size})",
+                "value": round(eff8, 4),
+                "unit": "ratio",
+                "vs_baseline": round(eff8 / 0.85, 4),
             }
         )
     )

@@ -60,6 +60,27 @@ def _default_camera(cfg):
     return Camera(cfg)
 
 
+def _parse_vec3(s: str):
+    v = tuple(float(c) for c in s.replace(",", " ").split())
+    if len(v) != 3:
+        raise SystemExit(f"expected 3 comma-separated floats, got {s!r}")
+    return v
+
+
+def _camera_for(args, cfg_camera, scene_spec: str):
+    """Camera from config + CLI overrides. ``--eye``/``--center`` replace
+    the previously hardcoded Cornell default (which remains the fallback
+    for --scene cornell when no flags are given)."""
+    cam_obj = _default_camera(cfg_camera)
+    if getattr(args, "eye", None):
+        cam_obj.eye = list(_parse_vec3(args.eye))
+    elif scene_spec == "cornell":
+        cam_obj.eye = [0.0, 1.0, 3.2]
+    if getattr(args, "center", None):
+        cam_obj.center = list(_parse_vec3(args.center))
+    return cam_obj
+
+
 def cmd_render(args) -> None:
     import jax
 
@@ -84,9 +105,7 @@ def cmd_render(args) -> None:
     with timers.span("scene build"):
         scene, settings = _load_scene(args.scene, settings, cfg.bvh)
 
-    cam_obj = _default_camera(cfg.camera)
-    if args.scene == "cornell":
-        cam_obj.eye = [0.0, 1.0, 3.2]
+    cam_obj = _camera_for(args, cfg.camera, args.scene)
     cam = cam_obj.state()
 
     with timers.span("tracer init"):
@@ -221,9 +240,7 @@ def cmd_fit(args) -> None:
     )
     scene, settings = _load_scene(args.scene, settings, cfg.bvh)
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)
-    cam_obj = _default_camera(cfg.camera)
-    if args.scene == "cornell":
-        cam_obj.eye = [0.0, 1.0, 3.2]
+    cam_obj = _camera_for(args, cfg.camera, args.scene)
     jcam = jax.tree_util.tree_map(jnp.asarray, cam_obj.state())
     npx = settings.width * settings.height
     ids = jnp.arange(npx, dtype=jnp.int32)
@@ -289,11 +306,15 @@ def cmd_view(args) -> None:
     if args.scene == "cornell":
         settings = settings.replace(shadow_rays=1)
     scene, settings = _load_scene(args.scene, settings, cfg.bvh)
-    cam_cfg = cfg.camera
-    if args.scene == "cornell":
-        import dataclasses
+    import dataclasses
 
-        cam_cfg = dataclasses.replace(cfg.camera, eye=(0.0, 1.0, 3.2))
+    cam_cfg = cfg.camera
+    if getattr(args, "eye", None):
+        cam_cfg = dataclasses.replace(cam_cfg, eye=_parse_vec3(args.eye))
+    elif args.scene == "cornell":
+        cam_cfg = dataclasses.replace(cam_cfg, eye=(0.0, 1.0, 3.2))
+    if getattr(args, "center", None):
+        cam_cfg = dataclasses.replace(cam_cfg, center=_parse_vec3(args.center))
     size = shutil.get_terminal_size((80, 24))
     viewer = Viewer(
         scene,
@@ -334,6 +355,8 @@ def main(argv=None) -> None:
                         "(the reference's unfinished noise_filtering.cl, completed)")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--stats", action="store_true")
+    r.add_argument("--eye", default=None, help="camera eye 'x,y,z' (overrides config)")
+    r.add_argument("--center", default=None, help="camera view direction 'x,y,z'")
     r.set_defaults(fn=cmd_render)
 
     v = sub.add_parser(
@@ -348,6 +371,8 @@ def main(argv=None) -> None:
     v.add_argument("--fps", type=float, default=30.0)
     v.add_argument("--exposure", type=float, default=2.5)
     v.add_argument("--no-draw", action="store_true", dest="no_draw")
+    v.add_argument("--eye", default=None, help="camera eye 'x,y,z' (overrides config)")
+    v.add_argument("--center", default=None, help="camera view direction 'x,y,z'")
     v.set_defaults(fn=cmd_view)
 
     f = sub.add_parser("fit", help="inverse-rendering demo")
@@ -358,6 +383,8 @@ def main(argv=None) -> None:
     f.add_argument("--lr", type=float, default=0.01)
     f.add_argument("--out", default=None)
     f.add_argument("--exposure", type=float, default=0.4)
+    f.add_argument("--eye", default=None, help="camera eye 'x,y,z' (overrides config)")
+    f.add_argument("--center", default=None, help="camera view direction 'x,y,z'")
     f.set_defaults(fn=cmd_fit)
 
     args = ap.parse_args(argv)

@@ -45,13 +45,22 @@ def packet_fits(bvh: LinearBVH, tris: TrianglesSoA) -> bool:
 
 
 def _traverse_tile(n_nodes, max_leaf, nodes_ref, tris_ref,
-                   ox, oy, oz, dx, dy, dz, t_limit=None):
+                   ox, oy, oz, dx, dy, dz, t_ref, f_ref, t_limit=None,
+                   occ_ref=None):
     """Tile-uniform stackless walk of one (8, 128) ray tile.
 
-    ``t_limit`` None: nearest-hit — returns (t_best, f_best).
+    ``t_limit`` None: nearest-hit — writes (t, face) into ``t_ref``/``f_ref``.
     ``t_limit`` array: any-hit with t < t_limit (NEE shadow leg, the analog
-    of traverseShadows' early-out, pt_bvh.cl:133-177) — returns a bool mask;
-    the walk stops early once every ray in the tile is occluded.
+    of traverseShadows' early-out, pt_bvh.cl:133-177) — writes an int mask
+    into ``occ_ref``; the walk stops early once every ray is occluded.
+
+    Mosaic shape constraints drive the structure: the while carry is
+    SCALAR-only (node cursor + early-exit flag — vector-carrying scf.while/
+    scf.if does not legalize on this libtpu), with the per-ray best-hit
+    state living in the output refs; leaf tests run unconditionally under
+    masks (predicated full-width VPU work instead of divergent control
+    flow — an inner-node step wastes two masked Möller-Trumbore
+    evaluations, far cheaper than a branch).
     """
     import jax
     import jax.numpy as jnp
@@ -71,9 +80,14 @@ def _traverse_tile(n_nodes, max_leaf, nodes_ref, tris_ref,
         return lo, hi
 
     any_hit_mode = t_limit is not None
+    if any_hit_mode:
+        occ_ref[...] = jnp.zeros(ox.shape, dtype=jnp.int32)
+    else:
+        t_ref[...] = jnp.full(ox.shape, INF, dtype=jnp.float32)
+        f_ref[...] = jnp.full(ox.shape, -1, dtype=jnp.int32)
 
     def body(carry):
-        i, t_best, f_best, occ = carry
+        i, _done = carry
         rec = nodes_ref[i, :]
         lo_x, hi_x = slab1(rec[0], rec[3], ox, inv_x)
         lo_y, hi_y = slab1(rec[1], rec[4], oy, inv_y)
@@ -82,73 +96,67 @@ def _traverse_tile(n_nodes, max_leaf, nodes_ref, tris_ref,
         t_far = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
         hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5))
         if any_hit_mode:
+            occ = occ_ref[...] != 0
             hit = hit & ~occ & (t_limit > t_near)
         else:
+            t_best = t_ref[...]
+            f_best = f_ref[...]
             hit = hit & (t_best > t_near)
         any_hit = jnp.any(hit)
 
         leaf_first = rec[6].astype(jnp.int32)
         leaf_count = rec[7].astype(jnp.int32)
         exit_i = rec[8].astype(jnp.int32)
-        is_leaf = leaf_first >= 0
 
-        def leaf_tests(args):
-            t_best, f_best, occ = args
-            for k in range(max_leaf):
-                fidx = jnp.clip(leaf_first + k, 0, tris_ref.shape[0] - 1)
-                tri = tris_ref[fidx, :]
-                # Möller-Trumbore, scalar triangle vs ray tile
-                # (same formula as ops/intersect.py::moller_trumbore).
-                px = dy * tri[8] - dz * tri[7]
-                py = dz * tri[6] - dx * tri[8]
-                pz = dx * tri[7] - dy * tri[6]
-                det = tri[3] * px + tri[4] * py + tri[5] * pz
-                inv_det = 1.0 / det
-                tx = ox - tri[0]
-                ty = oy - tri[1]
-                tz = oz - tri[2]
-                qx = ty * tri[5] - tz * tri[4]
-                qy = tz * tri[3] - tx * tri[5]
-                qz = tx * tri[4] - ty * tri[3]
-                t = (tri[6] * qx + tri[7] * qy + tri[8] * qz) * inv_det
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                valid = (
-                    hit
-                    & (k < leaf_count)
-                    & (t >= np.float32(EPSILON5))
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                )
-                if any_hit_mode:
-                    occ = occ | (valid & (t < t_limit))
-                else:
-                    ok = valid & (t < t_best)
-                    t_best = jnp.where(ok, t, t_best)
-                    f_best = jnp.where(ok, leaf_first + k, f_best)
-            return t_best, f_best, occ
+        do_leaf = hit & (leaf_first >= 0)
+        for k in range(max_leaf):
+            fidx = jnp.clip(leaf_first + k, 0, tris_ref.shape[0] - 1)
+            tri = tris_ref[fidx, :]
+            # Möller-Trumbore, scalar triangle vs ray tile
+            # (same formula as ops/intersect.py::moller_trumbore).
+            px = dy * tri[8] - dz * tri[7]
+            py = dz * tri[6] - dx * tri[8]
+            pz = dx * tri[7] - dy * tri[6]
+            det = tri[3] * px + tri[4] * py + tri[5] * pz
+            inv_det = 1.0 / det
+            tx = ox - tri[0]
+            ty = oy - tri[1]
+            tz = oz - tri[2]
+            qx = ty * tri[5] - tz * tri[4]
+            qy = tz * tri[3] - tx * tri[5]
+            qz = tx * tri[4] - ty * tri[3]
+            t = (tri[6] * qx + tri[7] * qy + tri[8] * qz) * inv_det
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            valid = (
+                do_leaf
+                & (k < leaf_count)
+                & (t >= np.float32(EPSILON5))
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+            )
+            if any_hit_mode:
+                occ = occ | (valid & (t < t_limit))
+            else:
+                ok = valid & (t < t_best)
+                t_best = jnp.where(ok, t, t_best)
+                f_best = jnp.where(ok, leaf_first + k, f_best)
+        if any_hit_mode:
+            occ_ref[...] = occ.astype(jnp.int32)
+            done = jnp.all(occ)
+        else:
+            t_ref[...] = t_best
+            f_ref[...] = f_best
+            done = jnp.bool_(False)
 
-        t_best, f_best, occ = jax.lax.cond(
-            any_hit & is_leaf, leaf_tests, lambda a: a, (t_best, f_best, occ)
-        )
         nxt = jnp.where(any_hit, i + 1, exit_i)
-        return nxt, t_best, f_best, occ
+        return nxt, done
 
     def cond(carry):
-        if any_hit_mode:
-            return (carry[0] < n_nodes) & ~jnp.all(carry[3])
-        return carry[0] < n_nodes
+        return (carry[0] < n_nodes) & ~carry[1]
 
-    t0 = jnp.full(ox.shape, INF, dtype=jnp.float32)
-    f0 = jnp.full(ox.shape, -1, dtype=jnp.int32)
-    occ0 = jnp.zeros(ox.shape, dtype=jnp.bool_)
-    _, t_best, f_best, occ = jax.lax.while_loop(
-        cond, body, (np.int32(0), t0, f0, occ0)
-    )
-    if any_hit_mode:
-        return occ
-    return t_best, f_best
+    jax.lax.while_loop(cond, body, (np.int32(0), jnp.bool_(False)))
 
 
 def _kernel(n_nodes, max_leaf, nodes_ref, tris_ref,
@@ -159,13 +167,12 @@ def _kernel(n_nodes, max_leaf, nodes_ref, tris_ref,
     leaf_count, exit, pad...]; tris_ref: (F, 16) f32 VMEM — [v0, e1, e2,
     pad...]. Scalar row reads drive the tile-uniform cursor.
     """
-    t_best, f_best = _traverse_tile(
+    _traverse_tile(
         n_nodes, max_leaf, nodes_ref, tris_ref,
         ox_ref[...], oy_ref[...], oz_ref[...],
         dx_ref[...], dy_ref[...], dz_ref[...],
+        t_ref, f_ref,
     )
-    t_ref[...] = t_best
-    f_ref[...] = f_best
 
 
 def _kernel_nee(n_nodes, max_leaf, nodes_ref, tris_ref, lp_ref,
@@ -189,11 +196,11 @@ def _kernel_nee(n_nodes, max_leaf, nodes_ref, tris_ref, lp_ref,
     dy = dy_ref[...]
     dz = dz_ref[...]
 
-    t_best, f_best = _traverse_tile(
-        n_nodes, max_leaf, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz
+    _traverse_tile(
+        n_nodes, max_leaf, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+        t_ref, f_ref,
     )
-    t_ref[...] = t_best
-    f_ref[...] = f_best
+    t_best = t_ref[...]
 
     one = np.float32(1.0)
     hit = t_best < INF
@@ -213,11 +220,10 @@ def _kernel_nee(n_nodes, max_leaf, nodes_ref, tris_ref, lp_ref,
     sy = ly * inv
     sz = lz * inv
 
-    occ = _traverse_tile(
+    _traverse_tile(
         n_nodes, max_leaf, nodes_ref, tris_ref, hx, hy, hz, sx, sy, sz,
-        t_limit=t_light,
+        None, None, t_limit=t_light, occ_ref=occ_ref,
     )
-    occ_ref[...] = occ.astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=None)

@@ -92,8 +92,13 @@ def sharded_render(
 
     npx = settings.width * settings.height
     if pixel_ids is None:
-        pixel_ids = jnp.arange(npx, dtype=jnp.int32)
-    pixel_ids = jax.device_put(pixel_ids, NamedSharding(mesh, P("dp")))
+        # Multi-host safe: each process materializes only its own shards
+        # (parallel.multihost; on one process this is just a sharded arange).
+        from pbr_tpu.parallel.multihost import host_local_pixel_ids
+
+        pixel_ids = host_local_pixel_ids(mesh, settings.width, settings.height)
+    else:
+        pixel_ids = jax.device_put(pixel_ids, NamedSharding(mesh, P("dp")))
     scene = jax.device_put(scene, NamedSharding(mesh, P()))
     cam = jax.device_put(cam, NamedSharding(mesh, P()))
 

@@ -48,31 +48,41 @@ def global_mesh(n_sp: int = 1):
     return make_mesh(n_dp=len(jax.devices()) // n_sp, n_sp=n_sp)
 
 
-def host_local_pixel_ids(mesh, width: int, height: int):
-    """The global (npix,) pixel-id array assembled from per-process local
-    shards — each host materializes only its own dp tile."""
-    import jax
-    import jax.numpy as jnp
+def pixel_id_sharding(mesh):
+    """The ('dp',)-sharded NamedSharding pixel batches use."""
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    npx = width * height
-    sharding = NamedSharding(mesh, P("dp"))
-    if jax.process_count() == 1:
-        return jax.device_put(jnp.arange(npx, dtype=jnp.int32), sharding)
-    local = np.arange(npx, dtype=np.int32)  # global ids; slicing per process
-    return jax.make_array_from_process_local_data(
-        sharding, local[_process_slice(mesh, npx)], (npx,)
-    )
+    return NamedSharding(mesh, P("dp"))
 
 
-def _process_slice(mesh, npx: int):
+def shard_index_map(mesh, npx: int):
+    """{device: index-tuple} for the (npx,) dp-sharded pixel array, derived
+    from the sharding itself — valid for ANY device order / process layout
+    (no contiguous-default-order assumption)."""
+    return pixel_id_sharding(mesh).devices_indices_map((npx,))
+
+
+def host_local_pixel_ids(mesh, width: int, height: int, dtype=np.int32):
+    """The global (npix,) pixel-id array, each host materializing only the
+    shards its own devices address.
+
+    Built with ``jax.make_array_from_callback``: jax asks for exactly the
+    index tuples of this process's addressable shards (from
+    ``shard_index_map``), so non-contiguous or permuted dp layouts are
+    handled by construction. Pixel ids are *global* (the value at global
+    index i is i) — the counter RNG keys off them, which is what makes the
+    image independent of host count and mesh layout.
+    """
     import jax
+    import jax.numpy as jnp
 
-    n_dp = mesh.shape["dp"]
-    per = npx // n_dp
-    # dp shards owned by this process, assuming the default device order.
-    my = [i for i, dev in enumerate(np.asarray(mesh.devices)[:, 0]) if dev.process_index == jax.process_index()]
-    lo = min(my) * per
-    hi = (max(my) + 1) * per
-    return slice(lo, hi)
+    npx = width * height
+
+    def cb(index):
+        # index is a tuple of slices into the (npx,) global shape.
+        (sl,) = index
+        start, stop, step = sl.indices(npx)
+        return jnp.arange(start, stop, step, dtype=dtype)
+
+    return jax.make_array_from_callback((npx,), pixel_id_sharding(mesh), cb)

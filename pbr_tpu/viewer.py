@@ -146,6 +146,12 @@ class Viewer:
         self.out = out if out is not None else sys.stdout
         self.move_light = False  # GLWidget::mMoveLight (GLWidget.cpp:858-864)
         self.focus = -1.0  # DoF focus distance; -1 = off
+        # Focus crosshair — the terminal analog of right-click-to-focus
+        # (GLWidget.cpp:441-447): 'P' toggles pick mode (arrows move the
+        # crosshair), 'p' focuses at the crosshair (defaults to center).
+        self.pick_mode = False
+        self.focus_px = settings.width // 2
+        self.focus_py = settings.height // 2
         self.frame = 0
         self.quit = False
 
@@ -182,6 +188,17 @@ class Viewer:
         if self.move_light and key in "wasdqe":
             self._move_light(key)
             return
+        if key == "P":
+            self.pick_mode = not self.pick_mode
+            Logger.info(f"[viewer] Focus-pick mode: {int(self.pick_mode)}")
+            return
+        if self.pick_mode and key in ("LEFT", "RIGHT", "UP", "DOWN"):
+            step = max(1, self.settings.width // 32)
+            dx = {"LEFT": -step, "RIGHT": step}.get(key, 0)
+            dy = {"UP": -step, "DOWN": step}.get(key, 0)
+            self.focus_px = int(np.clip(self.focus_px + dx, 0, self.settings.width - 1))
+            self.focus_py = int(np.clip(self.focus_py + dy, 0, self.settings.height - 1))
+            return
         cam = self.camera
         if key == "w":
             cam.move_forward()
@@ -210,15 +227,24 @@ class Viewer:
         elif key == "DOWN":
             cam.update_rotation(0, _ROT_STEP)
         elif key == "p":
-            # Focus on the center pixel's first-hit distance (the
-            # right-click setFocus analog; depth channel as pt_rgb.cl:18).
-            depth = self.tracer.depth_image()
-            t = float(depth[depth.shape[0] // 2, depth.shape[1] // 2])
-            self.focus = t if np.isfinite(t) and t > 0 else -1.0
-            self._on_camera_update()
+            # Focus on the crosshair pixel's first-hit distance (right-click
+            # setFocus analog, GLWidget.cpp:441-447 / PathTracer.cpp:596-602;
+            # depth channel as pt_rgb.cl:18). Crosshair defaults to center;
+            # move it in pick mode ('P' + arrows) or via set_focus_pixel().
+            self.set_focus_pixel(self.focus_px, self.focus_py)
         elif key == "o":
             self.focus = -1.0
             self._on_camera_update()
+
+    def set_focus_pixel(self, px: int, py: int) -> None:
+        """Focus the thin lens on pixel (px, py)'s first-hit distance —
+        any pixel, like the reference's right-click (GLWidget.cpp:441-447)."""
+        self.focus_px = int(np.clip(px, 0, self.settings.width - 1))
+        self.focus_py = int(np.clip(py, 0, self.settings.height - 1))
+        depth = self.tracer.depth_image()
+        t = float(depth[self.focus_py, self.focus_px])
+        self.focus = t if np.isfinite(t) and t > 0 else -1.0
+        self._on_camera_update()
 
     # ---- frame loop ------------------------------------------------------
     def render_one(self) -> None:

@@ -1,5 +1,7 @@
 """Native (C++) BVH builder ≡ NumPy builder, byte for byte."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -65,3 +67,30 @@ def test_soup_exact_skip_ahead():
         BVHConfig(max_faces=2, skip_ahead=True),
         *_tri_arrays(random_soup(777, seed=2)),
     )
+
+
+def test_native_builder_leak_check(tmp_path):
+    """ASan leak/memory check of the native builder — the counterpart of the
+    reference's valgrind harness (valgrind/valgrind.sh). Builds csrc into a
+    standalone -fsanitize=address binary and runs it; LeakSanitizer makes
+    any leak (or overflow/use-after-free) a nonzero exit."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = str(tmp_path / "leak_check")
+    subprocess.run(
+        [
+            "g++", "-O1", "-g", "-std=c++17", "-fsanitize=address",
+            os.path.join(root, "csrc", "bvh_builder.cpp"),
+            os.path.join(root, "csrc", "leak_check.cpp"),
+            "-o", exe,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    res = subprocess.run([exe], capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "leak_check ok" in res.stdout

@@ -102,3 +102,48 @@ def test_cli_view_smoke():
         "view", "--scene", "cornell", "--size", "16", "--frames", "2",
         "--keys", "w", "--no-draw",
     ])
+
+
+def test_arbitrary_pixel_focus():
+    """Any-pixel focus (GLWidget.cpp:441-447 right-click analog): pick mode
+    moves the crosshair with arrows; 'p' focuses at the crosshair; the API
+    accepts explicit coordinates too."""
+    v = _make_viewer()
+    v.run(max_frames=1, keys="", draw=False)
+    v.handle_key("P")
+    assert v.pick_mode
+    x0, y0 = v.focus_px, v.focus_py
+    v.handle_key("LEFT")
+    v.handle_key("UP")
+    assert (v.focus_px, v.focus_py) != (x0, y0)
+    v.handle_key("p")
+    f_moved = v.focus
+    assert f_moved > 0.0
+    # Focus pick reads the PREVIOUS frame's depth (the reference reads last
+    # frame's alpha channel, PathTracer.cpp:596-602) and picking restarts
+    # accumulation — render a frame before picking again.
+    v.render_one()
+    # explicit coordinates: pick a finite-depth pixel whose first-hit
+    # distance differs from the crosshair's
+    depth = v.tracer.depth_image()
+    finite = np.argwhere(np.isfinite(depth) & (np.abs(depth - f_moved) > 1e-3))
+    py, px = finite[0]
+    v.set_focus_pixel(int(px), int(py))
+    assert v.focus > 0.0 and v.focus != f_moved
+    # out-of-range coords clamp instead of raising
+    v.set_focus_pixel(-5, 999)
+    assert (v.focus_px, v.focus_py) == (0, 31)
+
+
+def test_cli_eye_center_flags(tmp_path):
+    """--eye/--center replace the hardcoded Cornell camera (app.py)."""
+    import os
+
+    from pbr_tpu.app import main
+
+    out = str(tmp_path / "e.png")
+    main([
+        "render", "--scene", "cornell", "--frames", "1", "--size", "16",
+        "--out", out, "--eye", "0.5,1.2,2.5", "--center", "0,0,1",
+    ])
+    assert os.path.exists(out)
