@@ -1,0 +1,187 @@
+"""Sequential TPU measurement queue (run when the tunneled chip is healthy).
+
+Runs each step in-process, logging to stdout; a step failure (compile error)
+is caught and logged so later steps still run. Never kill this mid-compile —
+interrupting an in-flight remote compile wedges the tunnel.
+
+Usage: python tools/tpu_queue.py [step ...]   (default: all)
+Steps: probe pallas_bvh crossover
+"""
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def step_probe():
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    x = jnp.ones((512, 512))
+    v = float((x @ x).sum())
+    log(f"probe ok: {v} in {time.time() - t0:.1f}s on {jax.devices()}")
+
+
+def _rays(n, seed=3, lo=-0.8, hi=0.8):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.ops.vec import Vec3
+
+    rng = np.random.default_rng(seed)
+    o = Vec3(*[jnp.asarray(rng.uniform(lo, hi, n), jnp.float32) for _ in range(3)])
+    dn = rng.normal(size=(3, n)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=0, keepdims=True)
+    return o, Vec3(*[jnp.asarray(c) for c in dn])
+
+
+def step_pallas_bvh():
+    """Validate the packet BVH kernel compiles + matches on the real chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet
+    from pbr_tpu.ops.traverse import intersect_brute
+    from pbr_tpu.ops.vec import Vec3
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import cornell_box
+
+    obj, mtl, li = cornell_box()
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=True)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    o, d = _rays(8192)
+
+    t0 = time.time()
+    fn = jax.jit(
+        lambda o, d: intersect_bvh_packet(jnp, o, d, jscene.bvh, jscene.tris)
+    )
+    t, f = fn(o, d)
+    f_host = np.asarray(f)
+    log(f"pallas_bvh compile+run: {time.time() - t0:.1f}s")
+    t_b, f_b = jax.jit(lambda o, d: intersect_brute(jnp, o, d, jscene.tris))(o, d)
+    match = (f_host == np.asarray(f_b)).mean()
+    log(f"pallas_bvh vs brute face agreement: {match:.4f}")
+    assert match > 0.9999, match
+
+    # NEE-fused variant
+    lp = Vec3(jnp.float32(0.0), jnp.float32(1.8), jnp.float32(0.2))
+    t0 = time.time()
+    fn2 = jax.jit(
+        lambda o, d: intersect_bvh_packet(
+            jnp, o, d, jscene.bvh, jscene.tris, light_pos=lp
+        )
+    )
+    t2, f2, occ = fn2(o, d)
+    occ_frac = float(np.asarray(occ).mean())
+    log(f"pallas_bvh NEE compile+run: {time.time() - t0:.1f}s, occ frac {occ_frac:.3f}")
+    log("pallas_bvh OK on TPU")
+
+
+def _time_fn(fn, *args, iters=10):
+    import numpy as np
+
+    out = fn(*args)
+    _sync = np.asarray(out[0]).ravel()[:1]
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync = np.asarray(out[0]).ravel()[:1]
+    return (time.time() - t0) / iters
+
+
+def step_crossover():
+    """Measured intersector crossover: brute pallas / packet bvh / XLA walk
+    at several scene sizes, 1M rays (the auto-dispatch policy evidence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet, packet_fits
+    from pbr_tpu.ops.pallas_intersect import intersect_pallas
+    from pbr_tpu.ops.traverse import intersect_bvh_chunked
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import cornell_box, random_soup
+
+    n_rays = 1 << 20
+
+    def scene_for(tag):
+        if tag == "cornell":
+            obj, mtl, li = cornell_box()
+            scene, _ = scene_from_text(obj, mtl, li, use_bvh=True)
+        else:
+            scene, _ = scene_from_text(random_soup(int(tag), seed=7), use_bvh=True)
+        return jax.tree_util.tree_map(jnp.asarray, scene)
+
+    for tag in ("cornell", "1000", "4000", "10000", "100000"):
+        jscene = scene_for(tag)
+        nf = int(jscene.tris.mtl.shape[0])
+        o, d = _rays(n_rays, lo=-1.2, hi=1.2)
+        rows = []
+        if nf <= 4000:
+            try:
+                dt = _time_fn(
+                    jax.jit(lambda o, d: intersect_pallas(jnp, o, d, jscene.tris)),
+                    o, d,
+                )
+                rows.append(("brute_pallas", dt))
+            except Exception as e:
+                log(f"  brute_pallas failed: {type(e).__name__}")
+        if packet_fits(jscene.bvh, jscene.tris):
+            try:
+                dt = _time_fn(
+                    jax.jit(
+                        lambda o, d: intersect_bvh_packet(
+                            jnp, o, d, jscene.bvh, jscene.tris
+                        )
+                    ),
+                    o, d,
+                )
+                rows.append(("packet_bvh", dt))
+            except Exception as e:
+                log(f"  packet_bvh failed: {type(e).__name__}")
+        try:
+            dt = _time_fn(
+                jax.jit(
+                    lambda o, d: intersect_bvh_chunked(
+                        jnp, o, d, jscene.bvh, jscene.tris
+                    )
+                ),
+                o, d,
+            )
+            rows.append(("xla_walk", dt))
+        except Exception as e:
+            log(f"  xla_walk failed: {type(e).__name__}")
+        for name, dt in rows:
+            log(
+                f"crossover {tag:8s} ({nf:6d} tris) {name:13s} "
+                f"{dt * 1e3:8.2f} ms  {n_rays / dt / 1e6:8.1f} M rays/s"
+            )
+
+
+STEPS = {
+    "probe": step_probe,
+    "pallas_bvh": step_pallas_bvh,
+    "crossover": step_crossover,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(STEPS)
+    for name in names:
+        log(f"=== step {name} ===")
+        try:
+            STEPS[name]()
+        except Exception:
+            log(f"step {name} FAILED:\n{traceback.format_exc()}")
+
+
+if __name__ == "__main__":
+    main()
