@@ -122,6 +122,19 @@ class PathTracer:
         """Restart progressive accumulation (PathTracer.cpp:576-578)."""
         self.state = init_frame_state(self._jnp, self.settings.width * self.settings.height)
 
+    def move_light(self, index: int, dx: float, dy: float, dz: float) -> None:
+        """Translate light ``index`` and restart accumulation — the
+        completed PathTracer::moveSun (stubbed upstream,
+        PathTracer.cpp:544-565). Scene edits retrace nothing: lights are
+        traced arrays, so the compiled step sees the new values directly."""
+        lights = self.scene.lights
+        pos = lights.pos
+        new_pos = type(pos)(
+            pos.x.at[index].add(dx), pos.y.at[index].add(dy), pos.z.at[index].add(dz)
+        )
+        self.scene = self.scene._replace(lights=lights._replace(pos=new_pos))
+        self.reset_sample_count()
+
     def render(self, cam: CameraState, frame_seed: int = 0) -> None:
         """Trace one frame and fold it into the accumulator."""
         seed = self._jnp.uint32(frame_seed)

@@ -162,19 +162,10 @@ class Viewer:
 
     def _move_light(self, key: str) -> None:
         """Move light 0 (the completed PathTracer::moveSun) and restart."""
-        jnp = self.tracer._jnp
-        lights = self.tracer.scene.lights
         dx = {"a": -_LIGHT_STEP, "d": _LIGHT_STEP}.get(key, 0.0)
         dy = {"q": _LIGHT_STEP, "e": -_LIGHT_STEP}.get(key, 0.0)
         dz = {"w": _LIGHT_STEP, "s": -_LIGHT_STEP}.get(key, 0.0)
-        pos = lights.pos
-        new_pos = type(pos)(
-            pos.x.at[0].add(dx), pos.y.at[0].add(dy), pos.z.at[0].add(dz)
-        )
-        self.tracer.scene = self.tracer.scene._replace(
-            lights=lights._replace(pos=new_pos)
-        )
-        self.tracer.reset_sample_count()
+        self.tracer.move_light(0, dx, dy, dz)
         self._resets += 1
 
     def handle_key(self, key: str) -> None:

@@ -124,13 +124,13 @@ timeit(
     frame(RenderSettings(**{**base, "bounce_loop": "scan", "compact_schedule": ()})),
 )
 
-from pbr_tpu.models.integrator import _compact_indices  # noqa: E402
+from pbr_tpu.models.integrator import _compact_rows  # noqa: E402
 
 
 @jax.jit
 def compact_x8(alive):
     def body(acc, k):
-        src, slot, n_ok, n_drop = _compact_indices(jnp, alive, 262144)
+        src, slot, n_ok, n_drop = _compact_rows(jnp, alive, 128, 2048)
         return acc + src.sum() + slot.sum() + n_ok + n_drop, None
 
     acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(8))
@@ -138,4 +138,4 @@ def compact_x8(alive):
 
 
 alive = (o.x > 0.5)
-timeit("compact_indices x8 (1M lanes)", compact_x8, alive)
+timeit("compact_rows x8 (1M lanes)", compact_x8, alive)
