@@ -79,6 +79,13 @@ def main() -> None:
         return run_scaling(args)
 
     import jax
+
+    from pbr_tpu.utils.cache import enable_persistent_cache
+
+    # Persistent XLA cache: repeat runs of the same config skip the
+    # multi-ten-second compile (the cold number is still reported by the
+    # first run; PBR_TPU_NO_CACHE=1 to force cold).
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

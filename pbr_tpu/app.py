@@ -333,6 +333,10 @@ def cmd_view(args) -> None:
 
 
 def main(argv=None) -> None:
+    from pbr_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # re-runs of a config skip the big compile
+
     ap = argparse.ArgumentParser(prog="pbr_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -344,21 +344,28 @@ def intersect_scene(
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
-        if scene.bvh is not None:
-            # On TPU the packet Pallas kernel removes the gather-boundness
-            # of the XLA walk whenever the node+triangle tables fit VMEM;
-            # the chunked XLA walk covers everything bigger. CPU/tests keep
-            # the XLA walk for numpy/jax parity.
+        if on_tpu:
+            # MEASURED policy (tools/tpu_queue.py on v5e, 1M rays, both
+            # coherent primary and incoherent random rays, soup scenes):
+            # the fused brute Pallas sweep beats the packet BVH kernel at
+            # every size its SMEM triangle table fits (49 vs 4.4 M rays/s
+            # at 1k tris, 7.2 vs 2.6 M at 10k — zero control flow beats
+            # one-node-per-step tile traversal), and the chunked XLA
+            # gather walk is 10-30x slower than either. Dispatch: brute to
+            # the SMEM limit, packet BVH in its VMEM window above that,
+            # gather walk only as the last resort.
             from pbr_tpu.ops.pallas_bvh import packet_fits
+            from pbr_tpu.ops.pallas_intersect import BRUTE_SMEM_MAX_FACES
 
-            if on_tpu and packet_fits(scene.bvh, scene.tris):
+            if scene.tris.count <= BRUTE_SMEM_MAX_FACES:
+                mode = "pallas"
+            elif scene.bvh is not None and packet_fits(scene.bvh, scene.tris):
                 mode = "pallas_bvh"
             else:
                 mode = "bvh"
-        elif on_tpu:
-            # The fused brute Pallas kernel is ~2.5x the XLA brute sweep
-            # and bitwise-identical to it.
-            mode = "pallas"
+        elif scene.bvh is not None:
+            # CPU/tests: the XLA walk keeps numpy/jax parity.
+            mode = "bvh"
         else:
             mode = "brute"
     if mode == "bvh":

@@ -166,10 +166,93 @@ def step_crossover():
             )
 
 
+def _camera_rays(n_side=1024, eye=(0.0, 0.0, 3.5)):
+    """Coherent primary rays: one pinhole ray per pixel of an n_side² grid
+    (the render workload's shape, vs the adversarial random rays above)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.ops.vec import Vec3
+
+    xs = (np.arange(n_side) + 0.5) / n_side * 2.0 - 1.0
+    gx, gy = np.meshgrid(xs, xs)
+    dx = gx.reshape(-1).astype(np.float32) * 0.6
+    dy = gy.reshape(-1).astype(np.float32) * 0.6
+    dz = np.full_like(dx, -1.0)
+    inv = 1.0 / np.sqrt(dx * dx + dy * dy + dz * dz)
+    o = Vec3(
+        jnp.full((n_side * n_side,), eye[0], jnp.float32),
+        jnp.full((n_side * n_side,), eye[1], jnp.float32),
+        jnp.full((n_side * n_side,), eye[2], jnp.float32),
+    )
+    d = Vec3(jnp.asarray(dx * inv), jnp.asarray(dy * inv), jnp.asarray(dz * inv))
+    return o, d
+
+
+def step_coherent():
+    """Same intersector sweep with COHERENT primary rays."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet, packet_fits
+    from pbr_tpu.ops.pallas_intersect import intersect_pallas
+    from pbr_tpu.ops.traverse import intersect_bvh_chunked
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    o, d = _camera_rays()
+    n_rays = int(o.x.shape[0])
+    for tag in ("1000", "4000", "10000", "100000"):
+        scene, _ = scene_from_text(random_soup(int(tag), seed=7), use_bvh=True)
+        jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+        nf = int(jscene.tris.mtl.shape[0])
+        rows = []
+        if nf <= 10000:
+            try:
+                dt = _time_fn(
+                    jax.jit(lambda o, d: intersect_pallas(jnp, o, d, jscene.tris)),
+                    o, d,
+                )
+                rows.append(("brute_pallas", dt))
+            except Exception as e:
+                log(f"  brute_pallas failed: {type(e).__name__}")
+        if packet_fits(jscene.bvh, jscene.tris):
+            try:
+                dt = _time_fn(
+                    jax.jit(
+                        lambda o, d: intersect_bvh_packet(
+                            jnp, o, d, jscene.bvh, jscene.tris
+                        )
+                    ),
+                    o, d,
+                )
+                rows.append(("packet_bvh", dt))
+            except Exception as e:
+                log(f"  packet_bvh failed: {type(e).__name__}")
+        try:
+            dt = _time_fn(
+                jax.jit(
+                    lambda o, d: intersect_bvh_chunked(
+                        jnp, o, d, jscene.bvh, jscene.tris
+                    )
+                ),
+                o, d,
+            )
+            rows.append(("xla_walk", dt))
+        except Exception as e:
+            log(f"  xla_walk failed: {type(e).__name__}")
+        for name, dt in rows:
+            log(
+                f"coherent {tag:8s} ({nf:6d} tris) {name:13s} "
+                f"{dt * 1e3:8.2f} ms  {n_rays / dt / 1e6:8.1f} M rays/s"
+            )
+
+
 STEPS = {
     "probe": step_probe,
     "pallas_bvh": step_pallas_bvh,
     "crossover": step_crossover,
+    "coherent": step_coherent,
 }
 
 
