@@ -32,13 +32,33 @@ def _scene_and_rays(n=1500, seed=3):
     return jscene, o, d
 
 
-def test_pallas_matches_brute():
+def test_pallas_mt_matches_brute():
+    """The classic-sweep kernel computes the exact same expressions as the
+    XLA brute sweep, so the winning face must match bitwise."""
     jscene, o, d = _scene_and_rays()
     t_b, f_b = intersect_brute(jnp, o, d, jscene.tris)
-    t_p, f_p = intersect_pallas(jnp, o, d, jscene.tris, interpret=True)
+    t_p, f_p = intersect_pallas(jnp, o, d, jscene.tris, interpret=True, variant="mt")
     np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_b))
     np.testing.assert_allclose(
         np.asarray(t_p), np.asarray(t_b), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_pallas_lin_matches_brute():
+    """The linear-form sweep regroups the triple products (hoisted per-face
+    constants), so f32 rounding differs near triangle edges / grazing
+    angles: the contract is near-total face agreement on adversarial random
+    rays, exact t agreement wherever the face agrees, and (separately
+    measured) a ≤0.13% pixel-flip rate end-to-end — inside the golden
+    tests' 1% budget."""
+    jscene, o, d = _scene_and_rays()
+    t_b, f_b = intersect_brute(jnp, o, d, jscene.tris)
+    t_p, f_p = intersect_pallas(jnp, o, d, jscene.tris, interpret=True, variant="lin")
+    f_b, f_p = np.asarray(f_b), np.asarray(f_p)
+    agree = f_p == f_b
+    assert agree.mean() > 0.97, f"face agreement {agree.mean():.4f}"
+    np.testing.assert_allclose(
+        np.asarray(t_p)[agree], np.asarray(t_b)[agree], rtol=1e-5, atol=1e-5
     )
 
 
@@ -48,7 +68,7 @@ def test_pallas_nee_fused_occlusion():
         jnp.float32(0.0), jnp.float32(1.8), jnp.float32(0.2)
     )  # inside the box, near the ceiling
     t_p, f_p, occ = intersect_pallas(
-        jnp, o, d, jscene.tris, light_pos=lp, interpret=True
+        jnp, o, d, jscene.tris, light_pos=lp, interpret=True, variant="mt"
     )
     # Reference: the integrator's separate-shadow math on the kernel's t.
     hit = jnp.isfinite(t_p)
@@ -67,6 +87,21 @@ def test_pallas_nee_fused_occlusion():
     # ULP-level differences in the recomputed hit point can flip grazing
     # occlusions; require near-total agreement.
     assert agree > 0.999, f"occlusion agreement {agree}"
+
+
+def test_pallas_nee_fused_occlusion_lin():
+    """Same fused-NEE contract for the linear-form sweep, with the lin
+    face-agreement gate in place of bitwise equality."""
+    jscene, o, d = _scene_and_rays(n=1100, seed=9)
+    lp = Vec3(jnp.float32(0.0), jnp.float32(1.8), jnp.float32(0.2))
+    t_l, f_l, occ_l = intersect_pallas(
+        jnp, o, d, jscene.tris, light_pos=lp, interpret=True, variant="lin"
+    )
+    t_m, f_m, occ_m = intersect_pallas(
+        jnp, o, d, jscene.tris, light_pos=lp, interpret=True, variant="mt"
+    )
+    assert (np.asarray(f_l) == np.asarray(f_m)).mean() > 0.97
+    assert (np.asarray(occ_l) == np.asarray(occ_m)).mean() > 0.99
 
 
 def test_pallas_miss_is_inf():

@@ -24,7 +24,10 @@ from pbr_tpu.scene.build import scene_from_text
 from pbr_tpu.scene.camera import make_camera_state
 from pbr_tpu.scene.procedural import cornell_box
 from pbr_tpu.scene.types import Scene
+from pbr_tpu.utils.cache import enable_persistent_cache
 from pbr_tpu.utils.config import RenderSettings
+
+enable_persistent_cache()
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--size", type=int, default=1024)

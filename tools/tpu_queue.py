@@ -248,11 +248,71 @@ def step_coherent():
             )
 
 
+def step_sweeplin():
+    """mt vs lin fused-NEE sweep microbench at the bench's bounce width
+    (1M rays) — evidence for intersect_pallas' default variant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.ops.pallas_intersect import intersect_pallas
+    from pbr_tpu.ops.vec import Vec3
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import cornell_box, random_soup
+
+    lp = Vec3(jnp.float32(0.0), jnp.float32(1.8), jnp.float32(0.2))
+    for tag in ("cornell", "1000", "4000"):
+        if tag == "cornell":
+            obj, mtl, li = cornell_box()
+            scene, _ = scene_from_text(obj, mtl, li, use_bvh=False)
+        else:
+            scene, _ = scene_from_text(random_soup(int(tag), seed=7), use_bvh=False)
+        jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+        nf = int(jscene.tris.mtl.shape[0])
+        o, d = _rays(1 << 20)
+        faces = {}
+        for variant in ("mt", "lin"):
+            for nee in (False, True):
+                try:
+                    if nee:
+                        fn = jax.jit(
+                            functools_partial_isect(jscene, variant, lp)
+                        )
+                    else:
+                        fn = jax.jit(functools_partial_isect(jscene, variant, None))
+                    dt = _time_fn(fn, o, d)
+                    out = fn(o, d)
+                    faces[(variant, nee)] = np.asarray(out[1])
+                    log(
+                        f"sweeplin {tag:8s} ({nf:5d} tris) {variant}"
+                        f"{'+nee' if nee else '    '}  {dt * 1e3:8.2f} ms  "
+                        f"{(1 << 20) / dt / 1e6:8.1f} M rays/s"
+                    )
+                except Exception as e:
+                    log(f"  {variant} nee={nee} failed: {type(e).__name__}: {e}")
+        if ("mt", False) in faces and ("lin", False) in faces:
+            agree = (faces[("mt", False)] == faces[("lin", False)]).mean()
+            log(f"sweeplin {tag:8s} face agreement mt-vs-lin: {agree:.5f}")
+
+
+def functools_partial_isect(jscene, variant, lp):
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.pallas_intersect import intersect_pallas
+
+    if lp is not None:
+        return lambda o, d: intersect_pallas(
+            jnp, o, d, jscene.tris, light_pos=lp, variant=variant
+        )
+    return lambda o, d: intersect_pallas(jnp, o, d, jscene.tris, variant=variant)
+
+
 STEPS = {
     "probe": step_probe,
     "pallas_bvh": step_pallas_bvh,
     "crossover": step_crossover,
     "coherent": step_coherent,
+    "sweeplin": step_sweeplin,
 }
 
 
