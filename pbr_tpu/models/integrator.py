@@ -96,18 +96,33 @@ def _sanitize3(xp, v: Vec3) -> Vec3:
 def _gather_materials(xp, mats, midx):
     """Gather all per-ray material fields.
 
-    On the jax path with few materials this is ONE one-hot matmul
-    (B, M) @ (M, 16): numerically exact (a single 1.0 per row), it runs on
-    the MXU, and — decisively — its *transpose* in the backward pass is
-    another matmul instead of a million-lane scatter-add into the (M,)
-    material arrays. NumPy (and large-M) fall back to fancy indexing.
+    On the jax path with few materials each field is a broadcast
+    select-chain over the material index: numerically exact (it picks the
+    table value verbatim), it fuses entirely into the surrounding shade
+    fusion (no (B, 14) intermediate in HBM — the one-hot-matmul
+    formulation's column slices alone cost ~2.4 ms/frame at 1024², see
+    docs/PERF.md), and its *transpose* in the backward pass is a masked
+    sum-reduce per material slot instead of a million-lane scatter-add.
+    Mid-size M keeps the one-hot matmul (select chains grow linearly);
+    NumPy and large-M fall back to fancy indexing.
     """
     fields = (
         mats.d, mats.Ni, mats.rough, mats.p, mats.nu, mats.nv, mats.Rs, mats.Rd,
         mats.kd.x, mats.kd.y, mats.kd.z, mats.ks.x, mats.ks.y, mats.ks.z,
     )
     m = int(mats.d.shape[0])
-    if xp.__name__.startswith("jax") and m <= 128:
+    if xp.__name__.startswith("jax") and m <= 16:
+        ones = xp.ones_like(midx, dtype=xp.float32)
+        sels = [midx == np.int32(i) for i in range(1, m)]
+
+        def pick(f):
+            v = f[0] * ones
+            for i, sel in enumerate(sels):
+                v = xp.where(sel, f[i + 1], v)
+            return v
+
+        vals = [pick(f) for f in fields]
+    elif xp.__name__.startswith("jax") and m <= 128:
         import jax
 
         table = xp.stack(fields, axis=1)  # (M, 14)
@@ -219,9 +234,11 @@ def _gen_rays(xp, cam: CameraState, settings: RenderSettings, px, py, rng, s, pr
     fy = 1.0 - F32(h) + 2.0 * py
     d = (cw + (cu * fx + cv * fy) * (pxdim * F32(0.5))).normalized()
 
-    # Anti-aliasing: jitter within the pixel footprint.
-    rnd = rng.u(s, 0, S_AA_R)
-    phi = PI_X2 * rng.u(s, 0, S_AA_PHI)
+    # Anti-aliasing: jitter within the pixel footprint. One bound (s, 0)
+    # hash prefix feeds all four primary-ray streams (rng.py PixelRng.at).
+    r0 = rng.at(s, 0)
+    rnd = r0.u(S_AA_R)
+    phi = PI_X2 * r0.u(S_AA_PHI)
     aa = jitter(d, phi, xp.sqrt(rnd), xp.sqrt(1.0 - rnd))
     d = (d + aa * (pxdim * F32(settings.anti_aliasing))).normalized()
 
@@ -231,8 +248,8 @@ def _gen_rays(xp, cam: CameraState, settings: RenderSettings, px, py, rng, s, pr
     t_obj = _where(xp, xp.isfinite(prev_t), prev_t, F32(1000.0))
     t_foc = _where(xp, xp.isfinite(cam.focus), cam.focus, F32(1000.0))
     lens = cam.focal_length / cam.aperture  # reference cam.lense.x / .y
-    radius = rng.u(s, 0, S_DOF_R) * lens * F32(0.5)
-    angle = PI_X2 * rng.u(s, 0, S_DOF_PHI)
+    radius = r0.u(S_DOF_R) * lens * F32(0.5)
+    angle = PI_X2 * r0.u(S_DOF_PHI)
     o_dof = o + cu * (radius * xp.cos(angle)) + cv * (radius * xp.sin(angle))
     hit_focal = eye + d * t_foc
     d_dof = (hit_focal - o_dof).normalized()
@@ -483,8 +500,10 @@ def trace_rays(
                 normal = where3(flat_w, normal, n_pt)
 
             # ---- path extension decision (extendDepth, pt_utils.cl:89-96) -
+            # One bound (s, depth) hash prefix feeds the bounce's 7 streams.
+            rb = rng.at(s, depth)
             if settings.brdf == BRDF_SCHLICK:
-                extend = m_rough < rng.u(s, depth, S_EXTEND)
+                extend = m_rough < rb.u(S_EXTEND)
             else:
                 extend = xp.maximum(m_nu, m_nv) >= 50.0
 
@@ -523,17 +542,17 @@ def trace_rays(
                 nee_ok = xp.zeros(px.shape, dtype=bool)
 
             # ---- new direction (getNewRay, pt_brdf.cl:344-378) ------------
-            r_trans = rng.u(s, depth, S_TRANS)
+            r_trans = rb.u(S_TRANS)
             do_trans = (m_d < 1.0) & (m_d <= r_trans)
             add_depth = extend | do_trans
-            refr = refract_dir(xp, d, normal, m_ni, rng.u(s, depth, S_REFR))
-            ra = rng.u(s, depth, S_BRDF_A)
-            rb = rng.u(s, depth, S_BRDF_B)
-            rc = rng.u(s, depth, S_BRDF_C)
+            refr = refract_dir(xp, d, normal, m_ni, rb.u(S_REFR))
+            ra = rb.u(S_BRDF_A)
+            rbb = rb.u(S_BRDF_B)
+            rc = rb.u(S_BRDF_C)
             if settings.brdf == BRDF_SCHLICK:
-                brdf_dir = schlick_sample(xp, d, normal, m_rough, m_p, ra, rb, rc)
+                brdf_dir = schlick_sample(xp, d, normal, m_rough, m_p, ra, rbb, rc)
             else:
-                brdf_dir = sa_sample(xp, d, normal, m_d, m_nu, m_nv, ra, rb, rc)
+                brdf_dir = sa_sample(xp, d, normal, m_d, m_nu, m_nv, ra, rbb, rc)
             new_d = where3(do_trans, refr, brdf_dir)
             # Detached sampling: sample *positions* carry no gradient (the
             # importance-sampling pdf in the weight does); cutting the
@@ -641,7 +660,7 @@ def trace_rays(
 
             # ---- Russian roulette (pt_utils.cl:385-387) -------------------
             max_col = color.max_component()
-            rr = (depth > 2 + depth_added) & (max_col < rng.u(s, depth, S_RR))
+            rr = (depth > 2 + depth_added) & (max_col < rb.u(S_RR))
             alive = alive & ~rr
 
             # ---- advance ---------------------------------------------------

@@ -110,6 +110,19 @@ def uniform(frame_seed, pixel_id, sample, bounce, stream):
     return (h >> np.uint32(8)).astype(np.float32) * _INV_2_24
 
 
+class BounceRng:
+    """Per-(sample, bounce) bound RNG state (see PixelRng.at)."""
+
+    __slots__ = ("_h",)
+
+    def __init__(self, h):
+        self._h = h
+
+    def u(self, stream):
+        h = fold(self._h, _as_u32(stream))
+        return (h >> np.uint32(8)).astype(np.float32) * _INV_2_24
+
+
 class PixelRng:
     """Convenience wrapper binding (frame_seed, pixel_id) once.
 
@@ -126,10 +139,15 @@ class PixelRng:
     def u(self, sample, bounce, stream):
         """``sample``/``bounce``/``stream`` may be Python ints or traced
         integer scalars (the integrator's scan carries the bounce index)."""
-        h = fold(self._base, _as_u32(sample))
-        h = fold(h, _as_u32(bounce))
-        h = fold(h, _as_u32(stream))
-        return (h >> np.uint32(8)).astype(np.float32) * _INV_2_24
+        return self.at(sample, bounce).u(stream)
+
+    def at(self, sample, bounce) -> "BounceRng":
+        """Bind (sample, bounce) once: the integrator draws ~7 streams per
+        bounce, and hoisting the shared ``fold(sample); fold(bounce)``
+        prefix out of every draw cuts the per-draw hash chain from 3 folds
+        to 1 — bitwise-identical uniforms (pure common-subexpression
+        hoisting of a deterministic hash), ~2/3 fewer RNG ops per bounce."""
+        return BounceRng(fold(fold(self._base, _as_u32(sample)), _as_u32(bounce)))
 
     def gather(self, idx):
         """A PixelRng for the sub-batch ``pixel_id[idx]``.

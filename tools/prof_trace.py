@@ -66,6 +66,9 @@ def step_fwd(scene, cam, ids, seed, settings):
 
 @functools.partial(jax.jit, static_argnames=("settings",))
 def step_fwdbwd(scene, cam, ids, seed, settings):
+    # FULL gradient set (materials + lights + camera), matching bench.py's
+    # metric exactly — a kd.x-only loss lets XLA dead-code most of the
+    # backward (~6.6 ms/frame lighter than the real thing).
     tris, bvh = scene.tris, scene.bvh
     params0 = (scene.materials, scene.lights, cam)
 
@@ -76,7 +79,11 @@ def step_fwdbwd(scene, cam, ids, seed, settings):
         return res.color.x.sum() + res.color.y.sum() + res.color.z.sum()
 
     loss, grads = jax.value_and_grad(frame_loss, allow_int=True)(params0)
-    return loss + grads[0].kd.x.sum()
+    leaves = [
+        g.sum() for g in jax.tree_util.tree_leaves(grads)
+        if hasattr(g, "dtype") and g.dtype != jax.dtypes.float0
+    ]
+    return loss + sum(leaves)
 
 
 step = step_fwd if args.fwd_only else step_fwdbwd
