@@ -47,7 +47,7 @@ def main() -> None:
     ap.add_argument(
         "--intersector",
         default=None,
-        choices=["brute", "gemm", "pallas", "bvh", "pallas_bvh"],
+        choices=["brute", "gemm", "pallas", "bvh", "pallas_bvh", "pallas_bvh_hbm"],
         help="override the intersector dispatch (default: auto)",
     )
     ap.add_argument(
@@ -163,6 +163,12 @@ def main() -> None:
         **({"intersector": args.intersector} if args.intersector else {}),
     )
 
+    from pbr_tpu.scene.build import bvh_max_leaf
+
+    # Static traversal bound: big scenes build coarser BVH leaves so the
+    # packet Pallas kernel's packed VMEM tables hold the whole scene.
+    max_leaf = bvh_max_leaf(scene)
+
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)
     jcam = jax.tree_util.tree_map(jnp.asarray, cam)
     npx = size * size
@@ -171,7 +177,10 @@ def main() -> None:
     # ---- measure actual ray counts (one instrumented trace) --------------
     @functools.partial(jax.jit, static_argnames=("settings",))
     def count_fn(scene, cam, ids, seed, settings):
-        res = trace_rays(jnp, scene, cam, settings, ids, seed, with_stats=True)
+        res = trace_rays(
+            jnp, scene, cam, settings, ids, seed, max_leaf=max_leaf,
+            with_stats=True,
+        )
         return res.n_path_rays, res.n_shadow_rays, res.n_dropped
 
     # The compacted counters count exactly the live lanes the full-width
@@ -215,7 +224,7 @@ def main() -> None:
         def step(scene, cam, ids, seed0, settings):
             def body(acc, k):
                 seed = rng_mod.fold(seed0, k)
-                res = trace_rays(jnp, scene, cam, settings, ids, seed)
+                res = trace_rays(jnp, scene, cam, settings, ids, seed, max_leaf=max_leaf)
                 return acc + res.color.x.sum() + res.color.y.sum() + res.color.z.sum(), None
 
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.uint32))
@@ -231,7 +240,7 @@ def main() -> None:
             def frame_loss(params, seed):
                 mats, lights, camst = params
                 sc = Scene(tris=tris, bvh=bvh, materials=mats, lights=lights)
-                res = trace_rays(jnp, sc, camst, settings, ids, seed)
+                res = trace_rays(jnp, sc, camst, settings, ids, seed, max_leaf=max_leaf)
                 return res.color.x.sum() + res.color.y.sum() + res.color.z.sum()
 
             def body(carry, k):

@@ -356,8 +356,16 @@ def trace_rays(
     schedule = []  # validated [(bounce, row capacity)], strictly shrinking
     prev_cap = rows_total
     prev_kb = 0
+    # Round capacities up to a whole Pallas ray tile (8x128 lanes) so the
+    # compacted stages hit the fused intersect kernel without pad/unpad
+    # concatenates around every call (a couple of spare always-dead rows
+    # cost less than the extra reshape fusions they remove).
+    tile_rows = max(1, 1024 // block) if 1024 % block == 0 else 1
+    if rows_total % tile_rows:
+        tile_rows = 1  # tiny batches (tests) can't align to device tiles
     for kb, frac in sorted(settings.compact_schedule):
         cap = max(1, int(np.ceil(rows_total * frac)))
+        cap = min(rows_total, -(-cap // tile_rows) * tile_rows)
         if prev_kb < kb < settings.max_total_depth and 0 < cap < prev_cap:
             schedule.append((kb, cap))
             prev_cap, prev_kb = cap, kb

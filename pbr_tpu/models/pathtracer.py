@@ -91,7 +91,7 @@ class PathTracer:
         self,
         scene: Scene,
         settings: RenderSettings,
-        max_leaf: int = 2,
+        max_leaf: int = None,
         donate: bool = True,
     ):
         import jax
@@ -100,6 +100,12 @@ class PathTracer:
         self._jax = jax
         self._jnp = jnp
         self.settings = settings
+        if max_leaf is None:
+            # Derive the static traversal bound from the scene's BVH (big
+            # scenes build coarser leaves — scene/build.py bvh_max_leaf).
+            from pbr_tpu.scene.build import bvh_max_leaf
+
+            max_leaf = bvh_max_leaf(scene)
         self.scene = jax.tree_util.tree_map(jnp.asarray, scene)
         self.max_leaf = max_leaf
         npx = settings.width * settings.height

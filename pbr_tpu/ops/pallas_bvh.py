@@ -351,3 +351,342 @@ def intersect_bvh_packet(
         inv = jnp.argsort(perm)
         t, f = t[inv], f[inv]
     return t[:flat].reshape(shape), f[:flat].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Big-scene variant: nodes resident in VMEM, triangles DMA'd from HBM.
+#
+# The VMEM-resident kernel above caps at PALLAS_BVH_MAX_ROWS records. For
+# scenes beyond it (the chunked XLA walk runs at ~0.03 M rays/s on a 100k-tri
+# soup — unusable), the TPU-native shape is two-level: a COARSE BVH
+# (scene/build.py builds 64-face leaves for >20k-face scenes, so ~6k nodes =
+# 3 MB sit in VMEM) drives the same tile-uniform walk, and each leaf visit
+# DMAs its contiguous 64-face slab (4 KB — triangles are stored in leaf
+# order, accel/bvh.py) from the HBM-resident (F, 16) table into a VMEM
+# scratch, then runs the unrolled masked sweep on it. Leaf work runs under
+# pl.when (a leaf visit is rare relative to inner-node steps, and the
+# 64-face sweep + DMA is too heavy to predicate away).
+
+# (N, 16) f32 node rows pay 512 B each to lane padding; 12k nodes = 6 MB.
+PACKET_HBM_MAX_NODES = 12_288
+
+
+def packet_hbm_fits(bvh: LinearBVH) -> bool:
+    """True when the coarse node table fits VMEM (triangles stay in HBM)."""
+    return bvh.count <= PACKET_HBM_MAX_NODES
+
+
+def _traverse_tile_hbm(n_nodes, max_leaf, nodes_ref, tris_hbm, slab_ref, sem,
+                       ox, oy, oz, dx, dy, dz, t_ref, f_ref, t_limit=None,
+                       occ_ref=None):
+    """Tile-uniform walk with HBM leaf slabs (see module section above).
+
+    Same traversal contract and MT math as ``_traverse_tile``; only the
+    triangle fetch differs. Best-hit state lives in the output refs so the
+    while carry stays scalar-only and leaf work can run under ``pl.when``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    def slab1(lo_s, hi_s, o, inv):
+        a = (lo_s - o) * inv
+        b = (hi_s - o) * inv
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        lo = jnp.where(lo == lo, lo, -jnp.inf)
+        hi = jnp.where(hi == hi, hi, jnp.inf)
+        return lo, hi
+
+    any_hit_mode = t_limit is not None
+    if any_hit_mode:
+        occ_ref[...] = jnp.zeros(ox.shape, dtype=jnp.int32)
+    else:
+        t_ref[...] = jnp.full(ox.shape, INF, dtype=jnp.float32)
+        f_ref[...] = jnp.full(ox.shape, -1, dtype=jnp.int32)
+
+    def body(carry):
+        i, _done = carry
+        rec = nodes_ref[i, :]
+        lo_x, hi_x = slab1(rec[0], rec[3], ox, inv_x)
+        lo_y, hi_y = slab1(rec[1], rec[4], oy, inv_y)
+        lo_z, hi_z = slab1(rec[2], rec[5], oz, inv_z)
+        t_near = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
+        t_far = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
+        hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5))
+        if any_hit_mode:
+            hit = hit & (occ_ref[...] == 0) & (t_limit > t_near)
+        else:
+            hit = hit & (t_ref[...] > t_near)
+        any_hit = jnp.any(hit)
+
+        leaf_first = rec[6].astype(jnp.int32)
+        leaf_count = rec[7].astype(jnp.int32)
+        exit_i = rec[8].astype(jnp.int32)
+
+        # Conditional-free leaf handling (vector-carrying scf.if does not
+        # legalize on this libtpu — same constraint that shapes
+        # _traverse_tile): EVERY step DMAs a slab (row 0 when this node is
+        # not a live leaf — harmless prefetch) and runs the masked sweep;
+        # do_leaf gates all state updates.
+        src = jnp.where(any_hit & (leaf_first >= 0), leaf_first, 0)
+        cp = pltpu.make_async_copy(
+            tris_hbm.at[pl.ds(src, max_leaf), :], slab_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        do_leaf = hit & (leaf_first >= 0)
+        if any_hit_mode:
+            occ = occ_ref[...] != 0
+        else:
+            t_best = t_ref[...]
+            f_best = f_ref[...]
+        for k in range(max_leaf):
+            tri = slab_ref[k, :]
+            px = dy * tri[8] - dz * tri[7]
+            py = dz * tri[6] - dx * tri[8]
+            pz = dx * tri[7] - dy * tri[6]
+            det = tri[3] * px + tri[4] * py + tri[5] * pz
+            inv_det = 1.0 / det
+            tx = ox - tri[0]
+            ty = oy - tri[1]
+            tz = oz - tri[2]
+            qx = ty * tri[5] - tz * tri[4]
+            qy = tz * tri[3] - tx * tri[5]
+            qz = tx * tri[4] - ty * tri[3]
+            t = (tri[6] * qx + tri[7] * qy + tri[8] * qz) * inv_det
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            valid = (
+                do_leaf
+                & (k < leaf_count)
+                & (t >= np.float32(EPSILON5))
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+            )
+            if any_hit_mode:
+                occ = occ | (valid & (t < t_limit))
+            else:
+                ok = valid & (t < t_best)
+                t_best = jnp.where(ok, t, t_best)
+                f_best = jnp.where(ok, leaf_first + k, f_best)
+        if any_hit_mode:
+            occ_ref[...] = occ.astype(jnp.int32)
+        else:
+            t_ref[...] = t_best
+            f_ref[...] = f_best
+
+        if any_hit_mode:
+            done = jnp.all(occ_ref[...] != 0)
+        else:
+            done = jnp.bool_(False)
+        nxt = jnp.where(any_hit, i + 1, exit_i)
+        return nxt, done
+
+    def cond(carry):
+        return (carry[0] < n_nodes) & ~carry[1]
+
+    jax.lax.while_loop(cond, body, (np.int32(0), jnp.bool_(False)))
+
+
+def _kernel_hbm(n_nodes, max_leaf, nodes_ref, tris_hbm,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                t_ref, f_ref, slab_ref, sem):
+    _traverse_tile_hbm(
+        n_nodes, max_leaf, nodes_ref, tris_hbm, slab_ref, sem,
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...],
+        t_ref, f_ref,
+    )
+
+
+def _kernel_hbm_nee(n_nodes, max_leaf, nodes_ref, tris_hbm, lp_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    t_ref, f_ref, occ_ref, slab_ref, sem):
+    """Fused primary nearest-hit + NEE shadow any-hit, HBM-slab variant
+    (same shadow-leg contract as ``_kernel_nee``)."""
+    import jax.numpy as jnp
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+
+    _traverse_tile_hbm(
+        n_nodes, max_leaf, nodes_ref, tris_hbm, slab_ref, sem,
+        ox, oy, oz, dx, dy, dz, t_ref, f_ref,
+    )
+    t_best = t_ref[...]
+
+    one = np.float32(1.0)
+    hit = t_best < INF
+    ts = jnp.where(hit, t_best, one)
+    hx = ox + dx * ts
+    hy = oy + dy * ts
+    hz = oz + dz * ts
+    lx = lp_ref[0] - hx
+    ly = lp_ref[1] - hy
+    lz = lp_ref[2] - hz
+    len2 = lx * lx + ly * ly + lz * lz
+    pos = len2 > 0.0
+    t_light = jnp.where(pos, jnp.sqrt(jnp.where(pos, len2, one)), 0.0)
+    okd = jnp.abs(t_light) > np.float32(1e-12)
+    inv = jnp.where(okd, one / jnp.where(okd, t_light, one), 0.0)
+    sx = lx * inv
+    sy = ly * inv
+    sz = lz * inv
+
+    _traverse_tile_hbm(
+        n_nodes, max_leaf, nodes_ref, tris_hbm, slab_ref, sem,
+        hx, hy, hz, sx, sy, sz, None, None,
+        t_limit=t_light, occ_ref=occ_ref,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_hbm(n_nodes: int, rows: int, max_leaf: int,
+                    nee: bool = False, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (rows // _TILE_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (_TILE_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    nodes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tris_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+
+    t_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    f_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    scratch = [
+        pltpu.VMEM((max_leaf, _LANES), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if nee:
+        lp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_hbm_nee, n_nodes, max_leaf),
+            grid=grid,
+            in_specs=[nodes_spec, tris_spec, lp_spec] + [ray_spec] * 6,
+            out_specs=(ray_spec, ray_spec, ray_spec),
+            out_shape=(t_shape, f_shape, f_shape),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )
+    return pl.pallas_call(
+        functools.partial(_kernel_hbm, n_nodes, max_leaf),
+        grid=grid,
+        in_specs=[nodes_spec, tris_spec] + [ray_spec] * 6,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(t_shape, f_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+
+def intersect_bvh_packet_hbm(
+    xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA,
+    max_leaf: int = 64, sort: bool = True, light_pos=None, interpret: bool = False,
+):
+    """Big-scene packet traversal: VMEM nodes + HBM triangle slabs.
+
+    Same contract as ``intersect_bvh_packet``; requires
+    ``packet_hbm_fits(bvh)`` and a BVH whose leaves hold ≤ ``max_leaf``
+    faces (scene/build.py builds 64-face leaves for big scenes)."""
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.traverse import _coherence_keys
+
+    n = bvh.count
+    nf = int(tris.v0.x.shape[0])
+    shape = o.x.shape
+    flat = int(np.prod(shape)) if shape else 1
+
+    ox, oy, oz = o.x.reshape(-1), o.y.reshape(-1), o.z.reshape(-1)
+    dx, dy, dz = d.x.reshape(-1), d.y.reshape(-1), d.z.reshape(-1)
+    pad = (-flat) % _TILE
+    if pad:
+        far = jnp.full((pad,), 1.0e30, dtype=jnp.float32)
+        one = jnp.ones((pad,), dtype=jnp.float32)
+        ox, oy, oz = (jnp.concatenate([a, far]) for a in (ox, oy, oz))
+        dx, dy, dz = (jnp.concatenate([a, one]) for a in (dx, dy, dz))
+    total = flat + pad
+
+    if sort:
+        keys = _coherence_keys(jnp, Vec3(ox, oy, oz), Vec3(dx, dy, dz), bvh)
+        perm = jnp.argsort(keys)
+        ox, oy, oz, dx, dy, dz = (a[perm] for a in (ox, oy, oz, dx, dy, dz))
+
+    prep = lambda a: a.reshape(total // _LANES, _LANES)  # noqa: E731
+
+    zeros_n = jnp.zeros((n,), dtype=jnp.float32)
+    nodes = jnp.stack(
+        [
+            bvh.bb_min.x, bvh.bb_min.y, bvh.bb_min.z,
+            bvh.bb_max.x, bvh.bb_max.y, bvh.bb_max.z,
+            bvh.leaf_first.astype(jnp.float32),
+            bvh.leaf_count.astype(jnp.float32),
+            bvh.exit.astype(jnp.float32),
+        ] + [zeros_n] * 7,
+        axis=1,
+    )  # (N, 16)
+    zeros_f = jnp.zeros((nf,), dtype=jnp.float32)
+    trisrow = jnp.stack(
+        [
+            tris.v0.x, tris.v0.y, tris.v0.z,
+            tris.e1.x, tris.e1.y, tris.e1.z,
+            tris.e2.x, tris.e2.y, tris.e2.z,
+        ] + [zeros_f] * 7,
+        axis=1,
+    )  # (F, 16)
+    # HBM DMA slices must be 128-lane aligned on the minor dim, so the
+    # HBM-resident table is (F + max_leaf, 128): 512 B/row in cheap HBM,
+    # arbitrary (unaligned) leaf_first row offsets, 32 KB per leaf slab.
+    # The max_leaf zero-row tail keeps the fixed-size DMA in bounds
+    # (padding rows read as det=0 -> never a valid hit).
+    trisrow = jnp.pad(trisrow, ((0, max_leaf), (0, _LANES - 16)))
+
+    rays = (prep(ox), prep(oy), prep(oz), prep(dx), prep(dy), prep(dz))
+    if light_pos is not None:
+        import jax
+
+        lp = jax.lax.stop_gradient(
+            jnp.stack(
+                [
+                    jnp.asarray(light_pos.x, jnp.float32),
+                    jnp.asarray(light_pos.y, jnp.float32),
+                    jnp.asarray(light_pos.z, jnp.float32),
+                ]
+            )
+        )
+        call = _build_call_hbm(
+            n, total // _LANES, max_leaf, nee=True, interpret=interpret
+        )
+        t, f, occ = call(nodes, trisrow, lp, *rays)
+        t, f, occ = t.reshape(-1), f.reshape(-1), occ.reshape(-1)
+        if sort:
+            inv = jnp.argsort(perm)
+            t, f, occ = t[inv], f[inv], occ[inv]
+        return (
+            t[:flat].reshape(shape),
+            f[:flat].reshape(shape),
+            occ[:flat].reshape(shape) != 0,
+        )
+    call = _build_call_hbm(n, total // _LANES, max_leaf, interpret=interpret)
+    t, f = call(nodes, trisrow, *rays)
+    t = t.reshape(-1)
+    f = f.reshape(-1)
+    if sort:
+        inv = jnp.argsort(perm)
+        t, f = t[inv], f[inv]
+    return t[:flat].reshape(shape), f[:flat].reshape(shape)

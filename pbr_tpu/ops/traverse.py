@@ -354,13 +354,17 @@ def intersect_scene(
             # gather walk is 10-30x slower than either. Dispatch: brute to
             # the SMEM limit, packet BVH in its VMEM window above that,
             # gather walk only as the last resort.
-            from pbr_tpu.ops.pallas_bvh import packet_fits
+            from pbr_tpu.ops.pallas_bvh import packet_fits, packet_hbm_fits
             from pbr_tpu.ops.pallas_intersect import BRUTE_SMEM_MAX_FACES
 
             if scene.tris.count <= BRUTE_SMEM_MAX_FACES:
                 mode = "pallas"
             elif scene.bvh is not None and packet_fits(scene.bvh, scene.tris):
                 mode = "pallas_bvh"
+            elif scene.bvh is not None and packet_hbm_fits(scene.bvh):
+                # Big scenes: coarse VMEM node walk + HBM leaf slabs (the
+                # chunked XLA walk is ~0.03 M rays/s at 100k tris).
+                mode = "pallas_bvh_hbm"
             else:
                 mode = "bvh"
         elif scene.bvh is not None:
@@ -385,6 +389,18 @@ def intersect_scene(
             )
         else:
             _, face = intersect_bvh_packet(
+                xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf
+            )
+    elif mode == "pallas_bvh_hbm":
+        from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet_hbm
+
+        if light_pos is not None:
+            _, face, occ = intersect_bvh_packet_hbm(
+                xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf,
+                light_pos=light_pos,
+            )
+        else:
+            _, face = intersect_bvh_packet_hbm(
                 xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf
             )
     elif mode == "gemm":

@@ -48,7 +48,17 @@ def build_scene(
         v0 = tris.v0.stack(np)
         v1 = (tris.v0 + tris.e1).stack(np)
         v2 = (tris.v0 + tris.e2).stack(np)
-        cfg = bvh_cfg or BVHConfig()
+        # Adaptive leaf size: big scenes build 64-face leaves so the coarse
+        # node table fits the HBM-slab packet kernel's VMEM budget
+        # (ops/pallas_bvh.py PACKET_HBM_MAX_NODES) — nodes walk in VMEM,
+        # each leaf's contiguous 64-face slab is DMA'd from HBM. The
+        # chunked XLA walk alternative runs at ~0.03 M rays/s on a 100k-tri
+        # soup (docs/PERF.md). Callers derive the matching traversal bound
+        # via ``bvh_max_leaf(scene)``.
+        if bvh_cfg is None and tris.count > 20_000:
+            cfg = BVHConfig(max_faces=64)
+        else:
+            cfg = bvh_cfg or BVHConfig()
         face_min = face_max = None
         if phong_tess_alpha > 0.0:
             from pbr_tpu.ops.phongtess import phongtess_face_aabbs
@@ -78,6 +88,15 @@ def build_scene(
     materials = obj.mtl.to_soa()
     lights = lights_to_soa(obj.lights) if obj.lights else no_lights()
     return Scene(tris=tris, bvh=bvh, materials=materials, lights=lights)
+
+
+def bvh_max_leaf(scene: Scene) -> int:
+    """The static per-leaf face bound a traversal must unroll for this
+    scene's BVH (host-side: call before jit). 2 for BVH-less scenes (the
+    reference's compile-time assumption, pt_bvh.cl:35-46)."""
+    if scene.bvh is None:
+        return 2
+    return max(2, int(np.max(np.asarray(scene.bvh.leaf_count))))
 
 
 def apply_scene_constants(settings: RenderSettings, obj: ObjData) -> RenderSettings:

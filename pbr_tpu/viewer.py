@@ -126,7 +126,7 @@ class Viewer:
         scene: Scene,
         settings: RenderSettings,
         cam_cfg: CameraConfig = CameraConfig(),
-        max_leaf: int = 2,
+        max_leaf: int = None,
         exposure: float = 2.5,
         term_cols: int = 80,
         term_rows: int = 24,

@@ -125,3 +125,80 @@ def test_intersect_scene_mode_pallas_bvh_interpretable():
     t_ref, f_ref = intersect_scene(jnp, o, d, jscene, mode="bvh")
     np.testing.assert_array_equal(np.asarray(face), np.asarray(f_ref))
     np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_packet_coarse_leaves_matches_brute():
+    """Big-scene mode: a 16-face-leaf BVH (the adaptive build for scenes
+    over 20k faces, scene/build.py) traversed with max_leaf=16 — exercised
+    here on a small soup so interpret mode stays fast."""
+    from pbr_tpu.utils.config import BVHConfig
+
+    scene, _ = scene_from_text(
+        random_soup(600, seed=4), bvh_cfg=BVHConfig(max_faces=16), use_bvh=True
+    )
+    from pbr_tpu.scene.build import bvh_max_leaf
+
+    ml = bvh_max_leaf(scene)
+    assert 2 < ml <= 16
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    o, d = _rays(700, seed=12, lo=-1.1, hi=1.1)
+    t_b, f_b = intersect_brute(jnp, o, d, jscene.tris)
+    t_p, f_p = intersect_bvh_packet(
+        jnp, o, d, jscene.bvh, jscene.tris, max_leaf=ml, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_b))
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_b), rtol=1e-6, atol=1e-6)
+
+
+def test_packet_hbm_matches_brute():
+    """HBM-slab big-scene variant (interpret mode; DMA emulated). A small
+    soup with an explicit 64-face-leaf build stands in for the >20k-face
+    scenes that trigger this path for real."""
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet_hbm
+    from pbr_tpu.scene.build import bvh_max_leaf
+    from pbr_tpu.utils.config import BVHConfig
+
+    scene, _ = scene_from_text(
+        random_soup(800, seed=6), bvh_cfg=BVHConfig(max_faces=64), use_bvh=True
+    )
+    ml = bvh_max_leaf(scene)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    o, d = _rays(700, seed=13, lo=-1.1, hi=1.1)
+    t_b, f_b = intersect_brute(jnp, o, d, jscene.tris)
+    t_p, f_p = intersect_bvh_packet_hbm(
+        jnp, o, d, jscene.bvh, jscene.tris, max_leaf=ml, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_b))
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_b), rtol=1e-6, atol=1e-6)
+
+
+def test_packet_hbm_nee_matches_separate():
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet_hbm
+    from pbr_tpu.scene.build import bvh_max_leaf
+    from pbr_tpu.utils.config import BVHConfig
+
+    scene, _ = scene_from_text(
+        random_soup(500, seed=8), bvh_cfg=BVHConfig(max_faces=64), use_bvh=True
+    )
+    ml = bvh_max_leaf(scene)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    o, d = _rays(600, seed=14, lo=-1.1, hi=1.1)
+    lp = Vec3(jnp.float32(0.0), jnp.float32(2.0), jnp.float32(0.1))
+    t_p, f_p, occ = intersect_bvh_packet_hbm(
+        jnp, o, d, jscene.bvh, jscene.tris, max_leaf=ml, light_pos=lp,
+        interpret=True,
+    )
+    t_b, f_b = intersect_brute(jnp, o, d, jscene.tris)
+    np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_b))
+    # Shadow leg vs the integrator's separate formulation.
+    hit = jnp.isfinite(t_p)
+    ts = jnp.where(hit, t_p, jnp.float32(1.0))
+    hp = o + d * ts
+    ones = jnp.ones_like(o.x)
+    lv = Vec3(lp.x * ones, lp.y * ones, lp.z * ones) - hp
+    t_light = safe_sqrt(lv.length2())
+    l_dir = lv * safe_div(jnp.float32(1.0), t_light)
+    t_sh, _ = intersect_brute(jnp, hp, l_dir, jscene.tris)
+    occ_ref = t_sh < t_light
+    agree = np.mean(np.asarray(occ) == np.asarray(occ_ref))
+    assert agree > 0.999, f"occlusion agreement {agree}"

@@ -307,12 +307,123 @@ def functools_partial_isect(jscene, variant, lp):
     return lambda o, d: intersect_pallas(jnp, o, d, jscene.tris, variant=variant)
 
 
+def step_soup100k():
+    """Isolate the soup:100k worker crash: standalone chunked walk, then
+    the integrator fwd at growing sizes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.ops.traverse import intersect_bvh_chunked
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.camera import make_camera_state
+    from pbr_tpu.scene.procedural import random_soup
+    from pbr_tpu.utils.config import RenderSettings
+
+    scene, _ = scene_from_text(random_soup(100_000, seed=11), use_bvh=True)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    log(f"bvh nodes {jscene.bvh.count}")
+
+    o, d = _rays(1 << 20, lo=-1.2, hi=1.2)
+    t0 = time.time()
+    fn = jax.jit(
+        lambda o, d: intersect_bvh_chunked(jnp, o, d, jscene.bvh, jscene.tris)
+    )
+    t, f = fn(o, d)
+    hits = int((np.asarray(f) >= 0).sum())
+    log(f"standalone chunked walk 1M rays: {time.time()-t0:.1f}s "
+        f"(compile+run), {hits} hits")
+    dt = _time_fn(fn, o, d, iters=3)
+    log(f"standalone chunked walk: {dt*1e3:.1f} ms -> {(1<<20)/dt/1e6:.2f} M rays/s")
+
+    cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    for size in (256, 512, 1024):
+        st = RenderSettings(
+            width=size, height=size, samples=1, max_depth=3, max_added_depth=5,
+            shadow_rays=1, anti_aliasing=0.7, sky_light=(0.85, 0.9, 1.0),
+            bounce_loop="unroll",
+            compact_schedule=((4, 0.73), (5, 0.07)), compact_block=128,
+        )
+        ids = jnp.arange(size * size, dtype=jnp.int32)
+
+        @jax.jit
+        def fwd(scene, cam, ids, seed):
+            r = trace_rays(jnp, scene, cam, st, ids, seed)
+            return r.color.x.sum() + r.color.y.sum() + r.color.z.sum()
+
+        t0 = time.time()
+        v = float(np.asarray(fwd(jscene, jcam, ids, jnp.uint32(1))))
+        log(f"integrator fwd {size}x{size}: {time.time()-t0:.1f}s "
+            f"compile+first, loss={v:.3f}")
+
+
+def step_packet100k():
+    """Validate + time the packed-table packet kernel on the 100k-tri soup
+    (coarse 16-face leaves) — the big-scene path the chunked XLA walk
+    cannot serve (0.03 M rays/s)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet_hbm, packet_hbm_fits
+    from pbr_tpu.ops.traverse import intersect_brute
+    from pbr_tpu.ops.vec import Vec3
+    from pbr_tpu.scene.build import bvh_max_leaf, scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    scene, _ = scene_from_text(random_soup(100_000, seed=11), use_bvh=True)
+    ml = bvh_max_leaf(scene)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    log(f"bvh nodes {jscene.bvh.count}, max_leaf {ml}, "
+        f"packet_hbm_fits {packet_hbm_fits(jscene.bvh)}")
+
+    for tag, n in (("64k", 1 << 16), ("1M", 1 << 20)):
+        o, d = _rays(n, lo=-1.2, hi=1.2)
+        t0 = time.time()
+        fn = jax.jit(
+            lambda o, d: intersect_bvh_packet_hbm(
+                jnp, o, d, jscene.bvh, jscene.tris, max_leaf=ml
+            )
+        )
+        t, f = fn(o, d)
+        hits = int((np.asarray(f) >= 0).sum())
+        log(f"packet_hbm {tag}: compile+run {time.time()-t0:.1f}s, {hits} hits")
+        if tag == "64k":
+            # correctness on-chip: face agreement vs the brute sweep
+            t_b, f_b = jax.jit(
+                lambda o, d: intersect_brute(jnp, o, d, jscene.tris)
+            )(o, d)
+            agree = float((np.asarray(f) == np.asarray(f_b)).mean())
+            log(f"packet_hbm 64k face agreement vs brute: {agree:.5f}")
+        dt = _time_fn(fn, o, d, iters=3)
+        log(f"packet_hbm {tag}: {dt*1e3:.1f} ms -> {n/dt/1e6:.2f} M rays/s")
+
+    # NEE-fused variant at 1M rays.
+    lp = Vec3(jnp.float32(0.0), jnp.float32(2.4), jnp.float32(0.0))
+    o, d = _rays(1 << 20, lo=-1.2, hi=1.2)
+    t0 = time.time()
+    fn2 = jax.jit(
+        lambda o, d: intersect_bvh_packet_hbm(
+            jnp, o, d, jscene.bvh, jscene.tris, max_leaf=ml, light_pos=lp
+        )
+    )
+    t, f, occ = fn2(o, d)
+    log(f"packet_hbm+nee 1M: compile+run {time.time()-t0:.1f}s, "
+        f"occ frac {float(np.asarray(occ).mean()):.3f}")
+    dt = _time_fn(fn2, o, d, iters=3)
+    log(f"packet_hbm+nee 1M: {dt*1e3:.1f} ms -> {(1<<20)/dt/1e6:.2f} M rays/s")
+
+
 STEPS = {
     "probe": step_probe,
     "pallas_bvh": step_pallas_bvh,
     "crossover": step_crossover,
     "coherent": step_coherent,
     "sweeplin": step_sweeplin,
+    "soup100k": step_soup100k,
+    "packet100k": step_packet100k,
 }
 
 
