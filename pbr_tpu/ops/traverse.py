@@ -354,18 +354,22 @@ def intersect_scene(
             # gather walk is 10-30x slower than either. Dispatch: brute to
             # the SMEM limit, packet BVH in its VMEM window above that,
             # gather walk only as the last resort.
-            from pbr_tpu.ops.pallas_bvh import packet_fits, packet_hbm_fits
+            from pbr_tpu.ops.pallas_bvh import packet_fits
             from pbr_tpu.ops.pallas_intersect import BRUTE_SMEM_MAX_FACES
 
             if scene.tris.count <= BRUTE_SMEM_MAX_FACES:
                 mode = "pallas"
             elif scene.bvh is not None and packet_fits(scene.bvh, scene.tris):
                 mode = "pallas_bvh"
-            elif scene.bvh is not None and packet_hbm_fits(scene.bvh):
-                # Big scenes: coarse VMEM node walk + HBM leaf slabs (the
-                # chunked XLA walk is ~0.03 M rays/s at 100k tris).
-                mode = "pallas_bvh_hbm"
             else:
+                # NOT auto-dispatching 'pallas_bvh_hbm' (coarse VMEM node
+                # walk + HBM leaf slabs): its correctness is proven in
+                # interpret mode, but this environment's Mosaic sends the
+                # DMA-inside-while kernel into a non-terminating compile
+                # that wedges the remote compile service (docs/PERF.md).
+                # Opt in explicitly with mode="pallas_bvh_hbm" on a stack
+                # where it compiles; the default stays the (slow but
+                # reliable) chunked XLA walk.
                 mode = "bvh"
         elif scene.bvh is not None:
             # CPU/tests: the XLA walk keeps numpy/jax parity.
