@@ -181,3 +181,18 @@ def test_skip_ahead_invariants():
     assert counts[leaf].sum() == 257
     ex = np.asarray(bvh.exit)
     assert (ex > np.arange(n)).all() and (ex <= n).all()
+
+
+def test_adaptive_leaf_size_big_scene():
+    """Scenes over 20k faces build 64-face leaves (scene/build.py) and
+    bvh_max_leaf reports the matching static traversal bound."""
+    from pbr_tpu.scene.build import bvh_max_leaf, scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    scene, _ = scene_from_text(random_soup(21_000, seed=2), use_bvh=True)
+    ml = bvh_max_leaf(scene)
+    assert 2 < ml <= 64
+    assert int(np.max(np.asarray(scene.bvh.leaf_count))) == ml
+    # Small scenes keep the reference's 2-face leaves.
+    small, _ = scene_from_text(random_soup(500, seed=2), use_bvh=True)
+    assert bvh_max_leaf(small) == 2
