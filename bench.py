@@ -125,6 +125,15 @@ def main() -> None:
         )
         cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
         scene_tag = f"soup{n_tris}"
+        if n_tris > 10_000 and args.intersector is None:
+            print(
+                "[bench] WARNING: >10k tris auto-dispatches the chunked XLA "
+                "walk (~0.03 M rays/s at 100k; docs/PERF.md) — expect an "
+                "extremely slow run. The designed big-scene kernel "
+                "(--intersector pallas_bvh_hbm) does not compile on this "
+                "environment's Mosaic.",
+                file=sys.stderr,
+            )
     else:
         obj, mtl, li = cornell_box()
         # TPU-first intersector choice: brute-force beats BVH traversal for a
