@@ -47,7 +47,10 @@ def main() -> None:
     ap.add_argument(
         "--intersector",
         default=None,
-        choices=["brute", "gemm", "pallas", "bvh", "pallas_bvh", "pallas_bvh_hbm"],
+        choices=[
+            "brute", "gemm", "pallas", "bvh", "pallas_bvh",
+            "pallas_bvh_forest", "pallas_bvh_hbm",
+        ],
         help="override the intersector dispatch (default: auto)",
     )
     ap.add_argument(
@@ -125,13 +128,11 @@ def main() -> None:
         )
         cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
         scene_tag = f"soup{n_tris}"
-        if n_tris > 10_000 and args.intersector is None:
+        if scene.forest is not None and args.intersector is None:
             print(
-                "[bench] WARNING: >10k tris auto-dispatches the chunked XLA "
-                "walk (~0.03 M rays/s at 100k; docs/PERF.md) — expect an "
-                "extremely slow run. The designed big-scene kernel "
-                "(--intersector pallas_bvh_hbm) does not compile on this "
-                "environment's Mosaic.",
+                f"[bench] soup:{n_tris}: auto-dispatching the BVH forest "
+                f"({len(scene.forest.bvhs)} VMEM sub-trees of "
+                f"{scene.forest.bvhs[0].count} nodes; accel/forest.py)",
                 file=sys.stderr,
             )
     else:

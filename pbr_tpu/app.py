@@ -247,7 +247,7 @@ def cmd_fit(args) -> None:
 
     def render(kd):
         mats = jscene.materials._replace(kd=kd)
-        sc = Scene(tris=jscene.tris, bvh=jscene.bvh, materials=mats, lights=jscene.lights)
+        sc = jscene._replace(materials=mats)
         return trace_rays(jnp, sc, jcam, settings, ids, jnp.uint32(5)).color
 
     target = render(jscene.materials.kd)

@@ -226,9 +226,25 @@ def _kernel_nee(n_nodes, max_leaf, nodes_ref, tris_ref, lp_ref,
     )
 
 
+def _kernel_shadow(n_nodes, max_leaf, nodes_ref, tris_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   tlim_ref, occ_ref):
+    """Standalone any-hit walk (occluded iff some face hits with
+    t < t_limit) — the shadow leg of ``_kernel_nee`` as its own kernel, for
+    callers that must finish the nearest pass globally before deriving
+    shadow rays (the forest combines K sub-tree results first)."""
+    _traverse_tile(
+        n_nodes, max_leaf, nodes_ref, tris_ref,
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...],
+        None, None, t_limit=tlim_ref[...], occ_ref=occ_ref,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int,
-                nee: bool = False, interpret: bool = False):
+                nee: bool = False, interpret: bool = False,
+                shadow: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -242,6 +258,15 @@ def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int,
 
     t_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     f_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    if shadow:
+        return pl.pallas_call(
+            functools.partial(_kernel_shadow, n_nodes, max_leaf),
+            grid=grid,
+            in_specs=[table_spec, table_spec] + [ray_spec] * 7,
+            out_specs=ray_spec,
+            out_shape=f_shape,
+            interpret=interpret,
+        )
     if nee:
         lp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         return pl.pallas_call(
@@ -689,4 +714,163 @@ def intersect_bvh_packet_hbm(
     if sort:
         inv = jnp.argsort(perm)
         t, f = t[inv], f[inv]
+    return t[:flat].reshape(shape), f[:flat].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Forest traversal: big scenes as K VMEM-resident sub-BVHs.
+#
+# The reliable big-scene path on this toolchain (docs/PERF.md documents why
+# the DMA-in-while HBM-slab kernel above cannot ship here): accel/forest.py
+# partitions the scene into spatially-coherent chunks whose node+triangle
+# tables each fit the PROVEN VMEM kernel, and this wrapper walks every
+# sub-tree per ray tile, min-combining nearest hits. A tile that misses a
+# sub-root AABB leaves that walk after one node step, so the overhead over
+# a single tree is ~K root tests per tile. All chunks share one compiled
+# kernel (node arrays are padded to a common length at build time).
+
+
+def _node_rows(jnp, bvh: LinearBVH):
+    """(N, 16) f32 node records for the kernel's scalar row reads."""
+    zeros = jnp.zeros((bvh.count,), dtype=jnp.float32)
+    return jnp.stack(
+        [
+            bvh.bb_min.x, bvh.bb_min.y, bvh.bb_min.z,
+            bvh.bb_max.x, bvh.bb_max.y, bvh.bb_max.z,
+            bvh.leaf_first.astype(jnp.float32),
+            bvh.leaf_count.astype(jnp.float32),
+            bvh.exit.astype(jnp.float32),
+        ] + [zeros] * 7,
+        axis=1,
+    )
+
+
+def _tri_rows(jnp, v0: Vec3, e1: Vec3, e2: Vec3):
+    """(F, 16) f32 triangle records (v0 / e1 / e2 rows)."""
+    zeros = jnp.zeros(v0.x.shape, dtype=jnp.float32)
+    return jnp.stack(
+        [v0.x, v0.y, v0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z] + [zeros] * 7,
+        axis=1,
+    )
+
+
+def intersect_bvh_forest(
+    xp, o: Vec3, d: Vec3, forest, bvh: LinearBVH,
+    max_leaf: int = 4, sort: bool = True, light_pos=None, interpret: bool = False,
+):
+    """Nearest-hit over a BVHForest (jax + TPU only; scene/types.py).
+
+    Same contract as ``intersect_bvh_packet``: returns main-order face
+    indices (``forest.face_ids`` maps each sub-tree's local winner back).
+    ``bvh`` (the scene's main BVH) only provides the scene bounds for the
+    Morton/octant coherence sort. With ``light_pos`` the NEE shadow any-hit
+    runs as a second per-chunk any-hit sweep — shadow rays are derived from
+    the *combined* nearest result with exactly ``_kernel_nee``'s guarded
+    math, so either path is a drop-in behind ``intersect_scene``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.traverse import _coherence_keys
+
+    k = len(forest.bvhs)
+    chunk = forest.chunk_size
+    maxn = forest.bvhs[0].count
+    shape = o.x.shape
+    flat = int(np.prod(shape)) if shape else 1
+
+    ox, oy, oz = o.x.reshape(-1), o.y.reshape(-1), o.z.reshape(-1)
+    dx, dy, dz = d.x.reshape(-1), d.y.reshape(-1), d.z.reshape(-1)
+    pad = (-flat) % _TILE
+    if pad:
+        far = jnp.full((pad,), 1.0e30, dtype=jnp.float32)
+        one = jnp.ones((pad,), dtype=jnp.float32)
+        ox, oy, oz = (jnp.concatenate([a, far]) for a in (ox, oy, oz))
+        dx, dy, dz = (jnp.concatenate([a, one]) for a in (dx, dy, dz))
+    total = flat + pad
+
+    if sort:
+        keys = _coherence_keys(jnp, Vec3(ox, oy, oz), Vec3(dx, dy, dz), bvh)
+        perm = jnp.argsort(keys)
+        ox, oy, oz, dx, dy, dz = (a[perm] for a in (ox, oy, oz, dx, dy, dz))
+
+    rows = total // _LANES
+    prep = lambda a: a.reshape(rows, _LANES)  # noqa: E731
+    rays = (prep(ox), prep(oy), prep(oz), prep(dx), prep(dy), prep(dz))
+
+    def chunk_tables(i):
+        sl = lambda v: Vec3(  # noqa: E731
+            v.x[i * chunk : (i + 1) * chunk],
+            v.y[i * chunk : (i + 1) * chunk],
+            v.z[i * chunk : (i + 1) * chunk],
+        )
+        return (
+            _node_rows(jnp, forest.bvhs[i]),
+            _tri_rows(jnp, sl(forest.v0), sl(forest.e1), sl(forest.e2)),
+        )
+
+    call = _build_call(maxn, chunk, rows, max_leaf, interpret=interpret)
+    t_best = jnp.full((rows, _LANES), INF, dtype=jnp.float32)
+    slot_best = jnp.full((rows, _LANES), -1, dtype=jnp.int32)
+    for i in range(k):
+        nodes_i, tris_i = chunk_tables(i)
+        t_i, f_i = call(nodes_i, tris_i, *rays)
+        better = t_i < t_best
+        t_best = jnp.where(better, t_i, t_best)
+        slot_best = jnp.where(better, f_i + i * chunk, slot_best)
+
+    # Forest slot -> main-order face index (what the shader gathers with).
+    f_main = jnp.where(
+        slot_best >= 0, forest.face_ids[jnp.maximum(slot_best, 0)], -1
+    )
+
+    occ = None
+    if light_pos is not None:
+        lpx = jax.lax.stop_gradient(jnp.asarray(light_pos.x, jnp.float32))
+        lpy = jax.lax.stop_gradient(jnp.asarray(light_pos.y, jnp.float32))
+        lpz = jax.lax.stop_gradient(jnp.asarray(light_pos.z, jnp.float32))
+        one = np.float32(1.0)
+        # Shadow-ray derivation: bitwise the same guarded math as
+        # _kernel_nee (missed lanes get ts=1 placeholders; the integrator
+        # masks them), so fused-vs-forest golden tests agree.
+        hit = t_best < INF
+        ts = jnp.where(hit, t_best, one)
+        hx = rays[0] + rays[3] * ts
+        hy = rays[1] + rays[4] * ts
+        hz = rays[2] + rays[5] * ts
+        lx = lpx - hx
+        ly = lpy - hy
+        lz = lpz - hz
+        len2 = lx * lx + ly * ly + lz * lz
+        pos = len2 > 0.0
+        t_light = jnp.where(pos, jnp.sqrt(jnp.where(pos, len2, one)), 0.0)
+        okd = jnp.abs(t_light) > np.float32(1e-12)
+        inv = jnp.where(okd, one / jnp.where(okd, t_light, one), 0.0)
+        sx = lx * inv
+        sy = ly * inv
+        sz = lz * inv
+
+        shadow_call = _build_call(
+            maxn, chunk, rows, max_leaf, interpret=interpret, shadow=True
+        )
+        occ_i32 = jnp.zeros((rows, _LANES), dtype=jnp.int32)
+        for i in range(k):
+            nodes_i, tris_i = chunk_tables(i)
+            occ_k = shadow_call(nodes_i, tris_i, hx, hy, hz, sx, sy, sz, t_light)
+            occ_i32 = occ_i32 | occ_k
+        occ = occ_i32.reshape(-1)
+
+    t = t_best.reshape(-1)
+    f = f_main.reshape(-1)
+    if sort:
+        inv_perm = jnp.argsort(perm)
+        t, f = t[inv_perm], f[inv_perm]
+        if occ is not None:
+            occ = occ[inv_perm]
+    if occ is not None:
+        return (
+            t[:flat].reshape(shape),
+            f[:flat].reshape(shape),
+            occ[:flat].reshape(shape) != 0,
+        )
     return t[:flat].reshape(shape), f[:flat].reshape(shape)

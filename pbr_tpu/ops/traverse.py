@@ -361,15 +361,19 @@ def intersect_scene(
                 mode = "pallas"
             elif scene.bvh is not None and packet_fits(scene.bvh, scene.tris):
                 mode = "pallas_bvh"
+            elif scene.forest is not None:
+                # Big scenes: forest of VMEM-resident sub-BVHs, each walked
+                # by the proven packet kernel (accel/forest.py). The
+                # single-tree alternative ('pallas_bvh_hbm', coarse VMEM
+                # node walk + HBM leaf slabs) is correct in interpret mode
+                # but this environment's Mosaic sends its DMA-inside-while
+                # kernel into a non-terminating compile that wedges the
+                # remote compile service (docs/PERF.md) — opt in explicitly
+                # on a stack where it compiles.
+                mode = "pallas_bvh_forest"
             else:
-                # NOT auto-dispatching 'pallas_bvh_hbm' (coarse VMEM node
-                # walk + HBM leaf slabs): its correctness is proven in
-                # interpret mode, but this environment's Mosaic sends the
-                # DMA-inside-while kernel into a non-terminating compile
-                # that wedges the remote compile service (docs/PERF.md).
-                # Opt in explicitly with mode="pallas_bvh_hbm" on a stack
-                # where it compiles; the default stays the (slow but
-                # reliable) chunked XLA walk.
+                # Last resort: the chunked XLA gather walk (slow but runs
+                # everywhere).
                 mode = "bvh"
         elif scene.bvh is not None:
             # CPU/tests: the XLA walk keeps numpy/jax parity.
@@ -394,6 +398,20 @@ def intersect_scene(
         else:
             _, face = intersect_bvh_packet(
                 xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf
+            )
+    elif mode == "pallas_bvh_forest":
+        from pbr_tpu.accel.forest import FOREST_MAX_LEAF
+        from pbr_tpu.ops.pallas_bvh import intersect_bvh_forest
+
+        if light_pos is not None:
+            _, face, occ = intersect_bvh_forest(
+                xp, o_s, d_s, scene.forest, scene.bvh,
+                max_leaf=FOREST_MAX_LEAF, light_pos=light_pos,
+            )
+        else:
+            _, face = intersect_bvh_forest(
+                xp, o_s, d_s, scene.forest, scene.bvh,
+                max_leaf=FOREST_MAX_LEAF,
             )
     elif mode == "pallas_bvh_hbm":
         from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet_hbm

@@ -164,7 +164,7 @@ def sharded_train_step(
                 psum'd loss would double-count (psum transposes to psum,
                 scaling grads by the axis size)."""
                 mats, lights, camst = params
-                sc = Scene(tris=tris, bvh=bvh, materials=mats, lights=lights)
+                sc = scene._replace(materials=mats, lights=lights)
                 color, _ = _trace_shard(jnp, sc, camst, settings, ids, seed)
                 err = (
                     (color.x - tr) ** 2 + (color.y - tg) ** 2 + (color.z - tb) ** 2

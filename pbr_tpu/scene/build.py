@@ -85,9 +85,25 @@ def build_scene(
                 v0, v1, v2, cfg, face_min=face_min, face_max=face_max
             )
         tris = permute_triangles(tris, leaf_order)
+    forest = None
+    if (
+        bvh is not None
+        and phong_tess_alpha == 0.0
+        and tris.count > 10_000
+    ):
+        # Beyond the brute Pallas kernel's SMEM window the TPU-servable
+        # intersector is the forest of VMEM-resident sub-BVHs built over
+        # contiguous (spatially coherent) runs of the main BVH's leaf
+        # order (accel/forest.py; intersect_scene auto-dispatches it).
+        # Curved Phong-tess patches keep the single inflated-AABB tree.
+        from pbr_tpu.accel.forest import build_forest
+
+        forest = build_forest(tris)
     materials = obj.mtl.to_soa()
     lights = lights_to_soa(obj.lights) if obj.lights else no_lights()
-    return Scene(tris=tris, bvh=bvh, materials=materials, lights=lights)
+    return Scene(
+        tris=tris, bvh=bvh, materials=materials, lights=lights, forest=forest
+    )
 
 
 def bvh_max_leaf(scene: Scene) -> int:

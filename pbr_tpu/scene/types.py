@@ -17,7 +17,7 @@ float-punned AoS packing with typed SoA arrays inside NamedTuple pytrees:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -139,6 +139,40 @@ class CameraState(NamedTuple):
     focus: object  # focus distance; < 0 → DoF off
 
 
+class BVHForest(NamedTuple):
+    """Forest of VMEM-sized sub-BVHs for big scenes (accel/forest.py).
+
+    The single packet-traversal kernel (ops/pallas_bvh.py) caps at
+    ``PALLAS_BVH_MAX_ROWS`` VMEM rows; beyond it the scene is partitioned
+    into K spatially-coherent chunks of ``chunk_size`` faces (contiguous
+    runs of the main BVH's leaf order, which is a SAH preorder and hence
+    spatially compact), each with its own sub-BVH that fits the budget.
+    Traversal walks all K sub-trees per ray tile — a tile that misses a
+    sub-root exits that walk after one node — and min-combines the hits.
+
+    Geometry is duplicated here in *forest order* (each chunk re-permuted
+    by its sub-BVH build) so the main BVH's leaf ranges stay valid on
+    ``Scene.tris``; ``face_ids`` maps a forest slot back to the main-order
+    face index the renderer shades with. All arrays are padded to
+    ``K * chunk_size`` (zero rows → degenerate faces that never hit).
+
+    - ``bvhs``: K sub-BVHs, node arrays padded to one common length so a
+      single compiled kernel serves every chunk;
+    - ``v0/e1/e2``: (K*chunk,) forest-ordered triangle geometry;
+    - ``face_ids``: (K*chunk,) int32, forest slot → main-order face index.
+    """
+
+    bvhs: Tuple[LinearBVH, ...]
+    v0: Vec3
+    e1: Vec3
+    e2: Vec3
+    face_ids: object  # int32
+
+    @property
+    def chunk_size(self) -> int:
+        return int(self.face_ids.shape[0]) // len(self.bvhs)
+
+
 class Scene(NamedTuple):
     """Everything the render kernel needs, as one pytree."""
 
@@ -146,6 +180,7 @@ class Scene(NamedTuple):
     bvh: Optional[LinearBVH]
     materials: MaterialsSoA
     lights: LightsSoA
+    forest: Optional[BVHForest] = None
 
     @property
     def num_faces(self) -> int:

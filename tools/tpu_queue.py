@@ -416,8 +416,132 @@ def step_packet100k():
     log(f"packet_hbm+nee 1M: {dt*1e3:.1f} ms -> {(1<<20)/dt/1e6:.2f} M rays/s")
 
 
+def step_forest_tiny():
+    """Safe bring-up probe for the forest kernels (wedge protocol,
+    .claude/skills/verify/SKILL.md): smallest real forest (2 chunks),
+    8k rays, nearest then the NEW standalone shadow kernel. Run this in
+    the background with a 3-4 min decision point before any big config."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_forest
+    from pbr_tpu.ops.traverse import intersect_brute
+    from pbr_tpu.ops.vec import Vec3
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    scene, _ = scene_from_text(random_soup(12_000, seed=11), use_bvh=True)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    log(f"forest chunks {len(jscene.forest.bvhs)}, "
+        f"nodes/chunk {jscene.forest.bvhs[0].count}")
+
+    o, d = _rays(1 << 13, lo=-1.2, hi=1.2)
+    t0 = time.time()
+    fn = jax.jit(
+        lambda o, d: intersect_bvh_forest(jnp, o, d, jscene.forest, jscene.bvh)
+    )
+    t, f = fn(o, d)
+    hits = int((np.asarray(f) >= 0).sum())
+    log(f"forest tiny nearest: compile+run {time.time()-t0:.1f}s, {hits} hits")
+    t_b, f_b = jax.jit(lambda o, d: intersect_brute(jnp, o, d, jscene.tris))(o, d)
+    agree = float((np.asarray(f) == np.asarray(f_b)).mean())
+    log(f"forest tiny face agreement vs brute: {agree:.5f}")
+
+    lp = Vec3(jnp.float32(0.0), jnp.float32(2.4), jnp.float32(0.0))
+    t0 = time.time()
+    fn2 = jax.jit(
+        lambda o, d: intersect_bvh_forest(
+            jnp, o, d, jscene.forest, jscene.bvh, light_pos=lp
+        )
+    )
+    t, f, occ = fn2(o, d)
+    log(f"forest tiny nee: compile+run {time.time()-t0:.1f}s, "
+        f"occ frac {float(np.asarray(occ).mean()):.3f}")
+
+
+def step_forest100k():
+    """Time the forest intersector on the 100k-tri soup — the big-scene
+    leg (milestone config 5) the chunked walk cannot serve (0.03 M rays/s,
+    docs/PERF.md). Standalone 1M-ray nearest + NEE, then the full
+    integrator fwd via auto dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_forest
+    from pbr_tpu.ops.traverse import intersect_brute
+    from pbr_tpu.ops.vec import Vec3
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.camera import make_camera_state
+    from pbr_tpu.scene.procedural import random_soup
+    from pbr_tpu.utils.config import RenderSettings
+
+    scene, _ = scene_from_text(random_soup(100_000, seed=11), use_bvh=True)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    log(f"forest chunks {len(jscene.forest.bvhs)}, "
+        f"nodes/chunk {jscene.forest.bvhs[0].count}")
+
+    o, d = _rays(1 << 16, lo=-1.2, hi=1.2)
+    fn = jax.jit(
+        lambda o, d: intersect_bvh_forest(jnp, o, d, jscene.forest, jscene.bvh)
+    )
+    t0 = time.time()
+    t, f = fn(o, d)
+    log(f"forest 64k nearest: compile+run {time.time()-t0:.1f}s")
+    t_b, f_b = jax.jit(lambda o, d: intersect_brute(jnp, o, d, jscene.tris))(o, d)
+    agree = float((np.asarray(f) == np.asarray(f_b)).mean())
+    log(f"forest 64k face agreement vs brute: {agree:.5f}")
+
+    o, d = _rays(1 << 20, lo=-1.2, hi=1.2)
+    t0 = time.time()
+    t, f = fn(o, d)
+    log(f"forest 1M nearest: compile+run {time.time()-t0:.1f}s")
+    dt = _time_fn(fn, o, d, iters=3)
+    log(f"forest 1M nearest: {dt*1e3:.1f} ms -> {(1<<20)/dt/1e6:.2f} M rays/s")
+
+    lp = Vec3(jnp.float32(0.0), jnp.float32(2.4), jnp.float32(0.0))
+    fn2 = jax.jit(
+        lambda o, d: intersect_bvh_forest(
+            jnp, o, d, jscene.forest, jscene.bvh, light_pos=lp
+        )
+    )
+    t0 = time.time()
+    t, f, occ = fn2(o, d)
+    log(f"forest 1M nee: compile+run {time.time()-t0:.1f}s, "
+        f"occ frac {float(np.asarray(occ).mean()):.3f}")
+    dt = _time_fn(fn2, o, d, iters=3)
+    log(f"forest 1M nee: {dt*1e3:.1f} ms -> {(1<<20)/dt/1e6:.2f} M rays/s")
+
+    cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    for size in (256, 1024):
+        st = RenderSettings(
+            width=size, height=size, samples=1, max_depth=3, max_added_depth=5,
+            shadow_rays=1, anti_aliasing=0.7, sky_light=(0.85, 0.9, 1.0),
+            bounce_loop="unroll",
+            compact_schedule=((4, 0.73), (5, 0.07)), compact_block=128,
+        )
+        ids = jnp.arange(size * size, dtype=jnp.int32)
+
+        @jax.jit
+        def fwd(scene, cam, ids, seed):
+            r = trace_rays(jnp, scene, cam, st, ids, seed)
+            return r.color.x.sum() + r.color.y.sum() + r.color.z.sum()
+
+        t0 = time.time()
+        v = float(np.asarray(fwd(jscene, jcam, ids, jnp.uint32(1))))
+        log(f"integrator fwd {size}x{size} (auto->forest): "
+            f"{time.time()-t0:.1f}s compile+first, loss={v:.3f}")
+        dt = _time_fn(fwd, jscene, jcam, ids, jnp.uint32(1), iters=3)
+        log(f"integrator fwd {size}x{size}: {dt*1e3:.1f} ms/frame")
+
+
 STEPS = {
     "probe": step_probe,
+    "forest_tiny": step_forest_tiny,
+    "forest100k": step_forest100k,
     "pallas_bvh": step_pallas_bvh,
     "crossover": step_crossover,
     "coherent": step_coherent,
