@@ -46,13 +46,20 @@ def packet_fits(bvh: LinearBVH, tris: TrianglesSoA) -> bool:
 
 def _traverse_tile(n_nodes, max_leaf, nodes_ref, tris_ref,
                    ox, oy, oz, dx, dy, dz, t_ref, f_ref, t_limit=None,
-                   occ_ref=None):
+                   occ_ref=None, t_init=None, f_init=None, occ_init=None):
     """Tile-uniform stackless walk of one (8, 128) ray tile.
 
     ``t_limit`` None: nearest-hit — writes (t, face) into ``t_ref``/``f_ref``.
     ``t_limit`` array: any-hit with t < t_limit (NEE shadow leg, the analog
     of traverseShadows' early-out, pt_bvh.cl:133-177) — writes an int mask
     into ``occ_ref``; the walk stops early once every ray is occluded.
+
+    ``t_init``/``f_init`` (or ``occ_init`` in any-hit mode): optional refs
+    seeding the best-hit state instead of INF/-1 (or 0). The forest threads
+    the running best across its sub-tree walks this way, so chunk k+1's
+    node tests prune against everything chunks 0..k already found (the
+    cross-tree analog of the single walk's ``t_best > t_near`` cut), and an
+    already-occluded tile early-outs a later shadow walk at its root.
 
     Mosaic shape constraints drive the structure: the while carry is
     SCALAR-only (node cursor + early-exit flag — vector-carrying scf.while/
@@ -81,7 +88,13 @@ def _traverse_tile(n_nodes, max_leaf, nodes_ref, tris_ref,
 
     any_hit_mode = t_limit is not None
     if any_hit_mode:
-        occ_ref[...] = jnp.zeros(ox.shape, dtype=jnp.int32)
+        if occ_init is not None:
+            occ_ref[...] = occ_init[...]
+        else:
+            occ_ref[...] = jnp.zeros(ox.shape, dtype=jnp.int32)
+    elif t_init is not None:
+        t_ref[...] = t_init[...]
+        f_ref[...] = f_init[...]
     else:
         t_ref[...] = jnp.full(ox.shape, INF, dtype=jnp.float32)
         f_ref[...] = jnp.full(ox.shape, -1, dtype=jnp.int32)
@@ -241,10 +254,37 @@ def _kernel_shadow(n_nodes, max_leaf, nodes_ref, tris_ref,
     )
 
 
+def _kernel_seeded(n_nodes, max_leaf, nodes_ref, tris_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   tin_ref, fin_ref, t_ref, f_ref):
+    """Nearest-hit walk seeded with a running best (the forest's
+    cross-chunk pruning — see ``_traverse_tile``'s docstring)."""
+    _traverse_tile(
+        n_nodes, max_leaf, nodes_ref, tris_ref,
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...],
+        t_ref, f_ref, t_init=tin_ref, f_init=fin_ref,
+    )
+
+
+def _kernel_shadow_seeded(n_nodes, max_leaf, nodes_ref, tris_ref,
+                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tlim_ref, oin_ref, occ_ref):
+    """Any-hit walk seeded with a running occlusion mask: a tile whose rays
+    are all already occluded early-outs at the first step."""
+    _traverse_tile(
+        n_nodes, max_leaf, nodes_ref, tris_ref,
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...],
+        None, None, t_limit=tlim_ref[...], occ_ref=occ_ref,
+        occ_init=oin_ref,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int,
                 nee: bool = False, interpret: bool = False,
-                shadow: bool = False):
+                shadow: bool = False, seeded: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -258,6 +298,15 @@ def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int,
 
     t_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     f_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    if shadow and seeded:
+        return pl.pallas_call(
+            functools.partial(_kernel_shadow_seeded, n_nodes, max_leaf),
+            grid=grid,
+            in_specs=[table_spec, table_spec] + [ray_spec] * 8,
+            out_specs=ray_spec,
+            out_shape=f_shape,
+            interpret=interpret,
+        )
     if shadow:
         return pl.pallas_call(
             functools.partial(_kernel_shadow, n_nodes, max_leaf),
@@ -265,6 +314,15 @@ def _build_call(n_nodes: int, n_faces: int, rows: int, max_leaf: int,
             in_specs=[table_spec, table_spec] + [ray_spec] * 7,
             out_specs=ray_spec,
             out_shape=f_shape,
+            interpret=interpret,
+        )
+    if seeded:
+        return pl.pallas_call(
+            functools.partial(_kernel_seeded, n_nodes, max_leaf),
+            grid=grid,
+            in_specs=[table_spec, table_spec] + [ray_spec] * 8,
+            out_specs=(ray_spec, ray_spec),
+            out_shape=(t_shape, f_shape),
             interpret=interpret,
         )
     if nee:
@@ -809,15 +867,22 @@ def intersect_bvh_forest(
             _tri_rows(jnp, sl(forest.v0), sl(forest.e1), sl(forest.e2)),
         )
 
-    call = _build_call(maxn, chunk, rows, max_leaf, interpret=interpret)
+    # Seeded chain: chunk i+1's walk starts from chunk 0..i's best, so its
+    # node tests prune against hits already found (measured ~8x fewer node
+    # visits than independent INF-seeded walks + XLA min-combine on the
+    # 100k soup). Face ids are local to each chunk's table; shifting the
+    # seed by -i*chunk and the result by +i*chunk keeps pass-through values
+    # global while freshly-written locals land in the right range.
+    call = _build_call(maxn, chunk, rows, max_leaf, interpret=interpret,
+                       seeded=True)
     t_best = jnp.full((rows, _LANES), INF, dtype=jnp.float32)
     slot_best = jnp.full((rows, _LANES), -1, dtype=jnp.int32)
     for i in range(k):
         nodes_i, tris_i = chunk_tables(i)
-        t_i, f_i = call(nodes_i, tris_i, *rays)
-        better = t_i < t_best
-        t_best = jnp.where(better, t_i, t_best)
-        slot_best = jnp.where(better, f_i + i * chunk, slot_best)
+        t_best, f_out = call(
+            nodes_i, tris_i, *rays, t_best, slot_best - i * chunk
+        )
+        slot_best = f_out + i * chunk
 
     # Forest slot -> main-order face index (what the shader gathers with).
     f_main = jnp.where(
@@ -850,14 +915,18 @@ def intersect_bvh_forest(
         sy = ly * inv
         sz = lz * inv
 
+        # Seeded any-hit chain: a tile fully occluded by earlier chunks
+        # early-outs later walks at their root step.
         shadow_call = _build_call(
-            maxn, chunk, rows, max_leaf, interpret=interpret, shadow=True
+            maxn, chunk, rows, max_leaf, interpret=interpret, shadow=True,
+            seeded=True,
         )
         occ_i32 = jnp.zeros((rows, _LANES), dtype=jnp.int32)
         for i in range(k):
             nodes_i, tris_i = chunk_tables(i)
-            occ_k = shadow_call(nodes_i, tris_i, hx, hy, hz, sx, sy, sz, t_light)
-            occ_i32 = occ_i32 | occ_k
+            occ_i32 = shadow_call(
+                nodes_i, tris_i, hx, hy, hz, sx, sy, sz, t_light, occ_i32
+            )
         occ = occ_i32.reshape(-1)
 
     t = t_best.reshape(-1)

@@ -528,20 +528,70 @@ def step_forest100k():
         @jax.jit
         def fwd(scene, cam, ids, seed):
             r = trace_rays(jnp, scene, cam, st, ids, seed)
-            return r.color.x.sum() + r.color.y.sum() + r.color.z.sum()
+            return (r.color.x.sum() + r.color.y.sum() + r.color.z.sum(),)
 
         t0 = time.time()
-        v = float(np.asarray(fwd(jscene, jcam, ids, jnp.uint32(1))))
+        v = float(np.asarray(fwd(jscene, jcam, ids, jnp.uint32(1))[0]))
         log(f"integrator fwd {size}x{size} (auto->forest): "
             f"{time.time()-t0:.1f}s compile+first, loss={v:.3f}")
         dt = _time_fn(fwd, jscene, jcam, ids, jnp.uint32(1), iters=3)
         log(f"integrator fwd {size}x{size}: {dt*1e3:.1f} ms/frame")
 
 
+def step_forest_frame():
+    """Integrator-only steady-state timing on the 100k-tri soup with the
+    forest auto-dispatch — the servable big-scene frame rate (the chunked
+    XLA walk killed the TPU worker at this config, docs/PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.camera import make_camera_state
+    from pbr_tpu.scene.procedural import random_soup
+    from pbr_tpu.utils.config import RenderSettings
+    from pbr_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    scene, _ = scene_from_text(random_soup(100_000, seed=11), use_bvh=True)
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    for size in (256, 1024):
+        st = RenderSettings(
+            width=size, height=size, samples=1, max_depth=3, max_added_depth=5,
+            shadow_rays=1, anti_aliasing=0.7, sky_light=(0.85, 0.9, 1.0),
+            bounce_loop="unroll",
+            compact_schedule=((4, 0.73), (5, 0.07)), compact_block=128,
+        )
+        ids = jnp.arange(size * size, dtype=jnp.int32)
+
+        @jax.jit
+        def fwd(scene, cam, ids, seed):
+            r = trace_rays(jnp, scene, cam, st, ids, seed, with_stats=True)
+            return (
+                r.color.x.sum() + r.color.y.sum() + r.color.z.sum(),
+                r.n_path_rays, r.n_shadow_rays,
+            )
+
+        t0 = time.time()
+        v, n_path, n_shadow = fwd(jscene, jcam, ids, jnp.uint32(1))
+        v = float(np.asarray(v))
+        rays = int(n_path) + int(n_shadow)
+        log(f"integrator fwd {size}x{size} (auto->forest): "
+            f"{time.time()-t0:.1f}s compile+first, loss={v:.3f}, "
+            f"{rays} rays/frame")
+        dt = _time_fn(fwd, jscene, jcam, ids, jnp.uint32(1), iters=3)
+        log(f"integrator fwd {size}x{size}: {dt*1e3:.1f} ms/frame -> "
+            f"{rays/dt/1e6:.2f} M rays/s")
+
+
 STEPS = {
     "probe": step_probe,
     "forest_tiny": step_forest_tiny,
     "forest100k": step_forest100k,
+    "forest_frame": step_forest_frame,
     "pallas_bvh": step_pallas_bvh,
     "crossover": step_crossover,
     "coherent": step_coherent,
