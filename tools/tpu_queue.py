@@ -587,11 +587,53 @@ def step_forest_frame():
             f"{rays/dt/1e6:.2f} M rays/s")
 
 
+def step_forest_leaf():
+    """Sub-BVH leaf-size tradeoff on the 100k soup: the packet kernel
+    unrolls max_leaf masked MT tests on EVERY node step (inner nodes waste
+    them), so smaller leaves cut per-step cost but deepen the walk.
+    Standalone forest intersect, coherent camera rays + adversarial random
+    rays, max_faces ∈ {2, 4, 8}."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.accel.forest import build_forest
+    from pbr_tpu.ops.pallas_bvh import intersect_bvh_forest
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    scene, _ = scene_from_text(random_soup(100_000, seed=11), use_bvh=True)
+    o_c, d_c = _camera_rays(1024)
+    o_r, d_r = _rays(1 << 20, lo=-1.2, hi=1.2)
+    sizes = tuple(
+        int(x) for x in os.environ.get("FOREST_LEAF_SIZES", "2,4,8").split(",")
+    )
+    for ml in sizes:
+        forest = build_forest(scene.tris, max_faces=ml)
+        jf = jax.tree_util.tree_map(jnp.asarray, forest)
+        jbvh = jax.tree_util.tree_map(jnp.asarray, scene.bvh)
+        fn = jax.jit(
+            lambda o, d, jf=jf: intersect_bvh_forest(
+                jnp, o, d, jf, jbvh, max_leaf=ml
+            )
+        )
+        t0 = time.time()
+        fn(o_c, d_c)
+        log(f"leaf={ml}: nodes/chunk {jf.bvhs[0].count}, "
+            f"compile+first {time.time()-t0:.1f}s")
+        dt = _time_fn(fn, o_c, d_c, iters=3)
+        log(f"leaf={ml}: camera 1M rays {dt*1e3:.1f} ms "
+            f"-> {(1<<20)/dt/1e6:.2f} M rays/s")
+        dt = _time_fn(fn, o_r, d_r, iters=3)
+        log(f"leaf={ml}: random 1M rays {dt*1e3:.1f} ms "
+            f"-> {(1<<20)/dt/1e6:.2f} M rays/s")
+
+
 STEPS = {
     "probe": step_probe,
     "forest_tiny": step_forest_tiny,
     "forest100k": step_forest100k,
     "forest_frame": step_forest_frame,
+    "forest_leaf": step_forest_leaf,
     "pallas_bvh": step_pallas_bvh,
     "crossover": step_crossover,
     "coherent": step_coherent,
