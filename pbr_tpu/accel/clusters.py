@@ -1,0 +1,122 @@
+"""Face-cluster build for the cull-and-sweep intersector (ops/pallas_cull.py).
+
+The TPU-native replacement for deep per-ray BVH traversal
+(pt_bvh.cl:82-123): instead of walking a tree with data-dependent control
+flow (which a TPU serializes into one scalar cursor per ray *tile* — the
+measured reason the packet kernel loses to brute force everywhere it fits,
+docs/PERF.md), the scene is cut into spatially-compact *clusters* of
+``size`` faces — contiguous runs of the main BVH's leaf order, which is a
+SAH preorder — and intersection becomes two dense stages:
+
+1. **cull** (ops/cull.py, plain XLA): a conservative interval-frustum test
+   of every ray tile against every cluster AABB — one (T, C) vectorized
+   slab test, no serial walk — selecting each tile's candidate clusters;
+2. **sweep** (ops/pallas_cull.py): a Pallas kernel that tests only the
+   candidate clusters, with each cluster's Möller-Trumbore coefficient
+   block streamed from HBM by the Pallas pipeline (scalar-prefetch-driven
+   block indexing — no manual DMA, no VMEM residency cap on scene size)
+   and the ray x face cross product evaluated as thin-K MXU matmuls in the
+   hoisted linear form (ops/pallas_intersect.py::_sweep_lin).
+
+Host-side NumPy; runs once at scene build.
+
+Coefficient layout (the kernel contract)
+----------------------------------------
+Per cluster, one ``(K_ROWS, 4*size)`` f32 block, face ``j`` in lane ``j``
+of each of the four ``size``-lane output groups ``[det | tnum | unum |
+vnum]``. Contracted against the per-ray feature vector
+``R = [o, d, c=o x d, 1]`` (rows 0-9 of K_ROWS=16; rest zero) it yields
+exactly ``_sweep_lin``'s quantities:
+
+    det  =  d.m                      m  = e2 x e1
+    tnum =  km - o.m                 km = v0.m
+    unum =  c.e2 - d.w               w  = e2 x v0
+    vnum = -c.e1 - d.q               q  = v0 x e1
+
+then t/u/v = num / det with the standard validity gates. Zero-padded faces
+have det = 0 -> t = NaN -> never valid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pbr_tpu.ops.vec import Vec3
+from pbr_tpu.scene.types import ClusterSet, TrianglesSoA
+
+# Rows of the coefficient block / ray feature vector (f32 sublane tile = 8;
+# 16 leaves room for the shadow-ray t_limit row and future features).
+K_ROWS = 16
+
+# Ray-feature row indices (shared with ops/pallas_cull.py / ops/cull.py).
+R_O = 0  # rows 0-2: ray origin
+R_D = 3  # rows 3-5: ray direction
+R_C = 6  # rows 6-8: o x d (Pluecker moment)
+R_ONE = 9  # row 9: constant 1
+R_TLIM = 10  # row 10: shadow-ray t_limit (any-hit variant only)
+
+
+def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
+    """Build a ClusterSet over main-order triangles (already in BVH leaf
+    order — scene/build.py permutes before calling).
+
+    ``size`` must be a multiple of 32 so the 4*size-lane coefficient blocks
+    stay 128-lane aligned.
+    """
+    if size % 32:
+        raise ValueError(f"cluster size must be a multiple of 32, got {size}")
+    v0 = tris.v0.stack(np).astype(np.float32)
+    e1 = tris.e1.stack(np).astype(np.float32)
+    e2 = tris.e2.stack(np).astype(np.float32)
+    nf = v0.shape[0]
+    c = max(1, (nf + size - 1) // size)
+    pad = c * size - nf
+    if pad:
+        z = np.zeros((pad, 3), dtype=np.float32)
+        v0p, e1p, e2p = (np.concatenate([a, z]) for a in (v0, e1, e2))
+    else:
+        v0p, e1p, e2p = v0, e1, e2
+
+    # Per-face linear-form constants (see module docstring).
+    m = np.cross(e2p, e1p)
+    km = np.einsum("fi,fi->f", v0p, m)
+    w = np.cross(e2p, v0p)
+    q = np.cross(v0p, e1p)
+
+    coeffs = np.zeros((c, K_ROWS, 4 * size), dtype=np.float32)
+
+    def put(group, row, vals):
+        coeffs[:, row, group * size : (group + 1) * size] = vals.reshape(c, size)
+
+    for ax in range(3):
+        put(0, R_D + ax, m[:, ax])  # det  = d.m
+        put(1, R_O + ax, -m[:, ax])  # tnum = km - o.m
+        put(2, R_C + ax, e2p[:, ax])  # unum = c.e2 - d.w
+        put(2, R_D + ax, -w[:, ax])
+        put(3, R_C + ax, -e1p[:, ax])  # vnum = -c.e1 - d.q
+        put(3, R_D + ax, -q[:, ax])
+    put(1, R_ONE, km)
+    # Padding faces: zero m -> det = 0, but km of a zero face is also 0, so
+    # guard tnum's constant term to keep t = NaN (never valid) explicit.
+    if pad:
+        coeffs[-1, R_ONE, size + (size - pad) : 2 * size] = 0.0
+
+    # Cluster AABBs over member-face vertices; padded faces are excluded by
+    # construction (v0 = 0 rows would otherwise drag AABBs to the origin).
+    verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (nf, 3, 3)
+    bb_min = np.full((c, 3), np.inf, dtype=np.float32)
+    bb_max = np.full((c, 3), -np.inf, dtype=np.float32)
+    for i in range(c):
+        lo, hi = i * size, min((i + 1) * size, nf)
+        bb_min[i] = verts[lo:hi].min(axis=(0, 1))
+        bb_max[i] = verts[lo:hi].max(axis=(0, 1))
+
+    scene_min = verts.min(axis=(0, 1)).astype(np.float32)
+    scene_max = verts.max(axis=(0, 1)).astype(np.float32)
+    return ClusterSet(
+        bb_min=Vec3(*(bb_min[:, i].copy() for i in range(3))),
+        bb_max=Vec3(*(bb_max[:, i].copy() for i in range(3))),
+        coeffs=coeffs,
+        scene_min=Vec3(*(scene_min[i] for i in range(3))),
+        scene_max=Vec3(*(scene_max[i] for i in range(3))),
+    )

@@ -46,10 +46,12 @@ def _pad_bvh(bvh: LinearBVH, n: int) -> LinearBVH:
     """Pad node arrays to length ``n`` so every sub-BVH shares one shape
     (one compiled kernel serves all chunks).
 
-    Padding nodes carry an empty AABB (min=+inf > max=-inf → slab test
-    never hits) and exit = n: real exits point at the *real* node count,
-    which is the first padding node, whose miss-exit immediately ends the
-    walk — one wasted step per tile, never a wrong result.
+    Padding nodes carry an inverted AABB (min=+inf, max=-inf) and exit = n.
+    The kernel's slab test would flip an inverted box into an unconditional
+    hit (min/max(a, b) per axis), so it guards with ``rec[0] <= rec[3]``
+    (pallas_bvh.py::_traverse_tile): the first padding node misses, its
+    exit = n ends the walk — one wasted step per tile, never a wrong
+    result.
     """
     pad = n - bvh.count
     if pad == 0:

@@ -1,0 +1,164 @@
+"""Cull stage of the cull-and-sweep intersector: dense candidate selection.
+
+Replaces per-ray BVH *descent* with one vectorized, conservative test of
+every ray tile against every cluster AABB (accel/clusters.py). There is no
+serial walk anywhere: tiles are (tile,) runs of the Morton/octant-sorted
+ray batch, each reduced to an interval frustum (origin AABB x per-axis
+direction interval), and a cluster is a candidate for a tile iff the
+interval slab test cannot rule out an intersection. Conservative means a
+candidate list may contain extra clusters (swept harmlessly by the exact
+per-ray Möller-Trumbore stage) but NEVER misses one that any ray of the
+tile could hit — the property the parity tests pin.
+
+All plain XLA (or NumPy — backend-generic), differentiation-free (the
+nearest-face search is detached by contract, ops/traverse.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pbr_tpu.ops.vec import Vec3
+from pbr_tpu.scene.types import ClusterSet
+from pbr_tpu.utils.config import EPSILON5
+
+F32 = np.float32
+_BIG = F32(3.0e38)  # finite stand-in for +/-inf (keeps 0*inf NaNs out)
+
+
+def coherence_keys(xp, o: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
+    """Octant+Morton sort keys against explicit scene bounds (the BVH-free
+    generalization of ops.traverse._coherence_keys)."""
+    from pbr_tpu.ops.traverse import _part1by2
+
+    inv = Vec3(
+        1.0 / xp.maximum(hi.x - lo.x, 1e-9),
+        1.0 / xp.maximum(hi.y - lo.y, 1e-9),
+        1.0 / xp.maximum(hi.z - lo.z, 1e-9),
+    )
+
+    def q(c, mn, iv):
+        return xp.clip((c - mn) * iv * 1023.0, 0.0, 1023.0).astype(xp.int32)
+
+    morton = (
+        _part1by2(xp, q(o.x, lo.x, inv.x))
+        | (_part1by2(xp, q(o.y, lo.y, inv.y)) << 1)
+        | (_part1by2(xp, q(o.z, lo.z, inv.z)) << 2)
+    )
+    octant = (
+        (d.x < 0).astype(xp.int32)
+        + 2 * (d.y < 0).astype(xp.int32)
+        + 4 * (d.z < 0).astype(xp.int32)
+    )
+    return (octant << 27) | (morton >> 3)
+
+
+def _tile_minmax(xp, a, tile: int):
+    a2 = a.reshape(-1, tile)
+    return xp.min(a2, axis=1), xp.max(a2, axis=1)
+
+
+def frustum_hits(
+    xp, o_lo, o_hi, d_lo, d_hi, bb_min: Vec3, bb_max: Vec3, t_cap=None
+):
+    """Conservative tile-frustum vs cluster-AABB test.
+
+    ``o_lo``/``o_hi``/``d_lo``/``d_hi``: Vec3 of (T,) per-tile component
+    bounds. ``bb_min``/``bb_max``: Vec3 of (C,). Returns (T, C) bool.
+
+    Per axis, the slab-crossing parameter t = (slab - o) / d is bounded by
+    interval arithmetic: with sign-pure direction intervals the eight
+    products of {slab_lo - o_hi, slab_lo - o_lo, slab_hi - o_hi,
+    slab_hi - o_lo} x {1/d_lo, 1/d_hi} bound every ray's [t_lo, t_hi];
+    a direction interval spanning 0 gives that axis no constraint
+    (conservative). A frustum hits iff max-entry <= min-exit and the exit
+    is in front (the same gate as the per-ray slab test,
+    ops/intersect.py::slab_box). ``t_cap`` (T,): optional conservative
+    upper bound on useful t (e.g. max shadow-ray length per tile).
+    """
+    t_entry = xp.full((o_lo.x.shape[0], bb_min.x.shape[0]), -_BIG, dtype=xp.float32)
+    t_exit = xp.full_like(t_entry, _BIG)
+
+    for ol, oh, dl, dh, sl, sh in (
+        (o_lo.x, o_hi.x, d_lo.x, d_hi.x, bb_min.x, bb_max.x),
+        (o_lo.y, o_hi.y, d_lo.y, d_hi.y, bb_min.y, bb_max.y),
+        (o_lo.z, o_hi.z, d_lo.z, d_hi.z, bb_min.z, bb_max.z),
+    ):
+        pure = (dl > 0.0) | (dh < 0.0)  # (T,)
+        # Guarded reciprocals (value unused when not pure).
+        safe = lambda v: xp.where(pure, v, F32(1.0))  # noqa: E731
+        inv_a = (1.0 / safe(dl))[:, None]
+        inv_b = (1.0 / safe(dh))[:, None]
+        e_ll = sl[None, :] - oh[:, None]  # slab lo minus origin hi, etc.
+        e_lh = sl[None, :] - ol[:, None]
+        e_hl = sh[None, :] - oh[:, None]
+        e_hh = sh[None, :] - ol[:, None]
+        p = [
+            e_ll * inv_a, e_ll * inv_b, e_lh * inv_a, e_lh * inv_b,
+            e_hl * inv_a, e_hl * inv_b, e_hh * inv_a, e_hh * inv_b,
+        ]
+        t_lo = p[0]
+        t_hi = p[0]
+        for v in p[1:]:
+            t_lo = xp.minimum(t_lo, v)
+            t_hi = xp.maximum(t_hi, v)
+        pure_c = pure[:, None]
+        t_entry = xp.maximum(t_entry, xp.where(pure_c, t_lo, -_BIG))
+        t_exit = xp.minimum(t_exit, xp.where(pure_c, t_hi, _BIG))
+
+    hit = (t_entry <= t_exit) & (t_exit > F32(EPSILON5))
+    if t_cap is not None:
+        hit = hit & (t_entry <= t_cap[:, None])
+    # Inverted (empty) cluster AABBs never hit; with sign-pure directions
+    # the interval test already rejects them, but an all-axes-unconstrained
+    # tile would pass, so gate explicitly.
+    nonempty = (bb_min.x <= bb_max.x)[None, :]
+    # t_entry doubles as the sweep's early-out key: a lower bound on any
+    # tile ray's entry into the cluster (clamped up to 0 — entries behind
+    # the origin can still produce forward hits, but never closer than 0).
+    return hit & nonempty, xp.maximum(t_entry, F32(0.0))
+
+
+def candidates(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
+    """Per-tile candidate cluster lists.
+
+    ``o``/``d``: flat (N,) SORTED ray components, N a multiple of ``tile``.
+    Returns ``(cand, counts, tent)``:
+
+    - ``cand`` (T, C) int32 — each tile's hit clusters ordered near-to-far
+      by conservative entry distance (the order that makes the sweep's
+      occlusion early-out effective; cross-cluster determinism comes from
+      the sweep's exact global-face-id tie-breaking, not processing
+      order), padding slots repeating the last valid entry (repeats make
+      the sweep pipeline's block fetches dedupe);
+    - ``counts`` (T,) int32 — valid entries per tile (0 = tile hits
+      nothing);
+    - ``tent`` (T, C) f32 — each slot's conservative entry lower bound
+      (+BIG on padding slots): the sweep stops a tile once every ray's
+      best hit is closer than the next slot's ``tent``.
+    """
+    c = cset.bb_min.x.shape[0]
+    ox = _tile_minmax(xp, o.x, tile)
+    oy = _tile_minmax(xp, o.y, tile)
+    oz = _tile_minmax(xp, o.z, tile)
+    dx = _tile_minmax(xp, d.x, tile)
+    dy = _tile_minmax(xp, d.y, tile)
+    dz = _tile_minmax(xp, d.z, tile)
+    o_lo, o_hi = Vec3(ox[0], oy[0], oz[0]), Vec3(ox[1], oy[1], oz[1])
+    d_lo, d_hi = Vec3(dx[0], dy[0], dz[0]), Vec3(dx[1], dy[1], dz[1])
+    hit, t_entry = frustum_hits(
+        xp, o_lo, o_hi, d_lo, d_hi, cset.bb_min, cset.bb_max, t_cap
+    )
+    counts = xp.sum(hit.astype(xp.int32), axis=1)
+    # Near-to-far enumeration; argsort is stable, so ties keep ascending id.
+    key = xp.where(hit, t_entry, _BIG)
+    order = xp.argsort(key, axis=1).astype(xp.int32)
+    # Repeat the last valid entry into the padding slots (count=0 tiles
+    # repeat cluster order[0]; the sweep skips them via counts anyway).
+    j = xp.arange(c, dtype=xp.int32)[None, :]
+    take = xp.minimum(j, xp.maximum(counts[:, None] - 1, 0))
+    cand = xp.take_along_axis(order, take, axis=1)
+    tent = xp.where(
+        j < counts[:, None], xp.take_along_axis(t_entry, cand, axis=1), _BIG
+    )
+    return cand, counts, tent

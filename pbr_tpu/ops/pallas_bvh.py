@@ -107,7 +107,13 @@ def _traverse_tile(n_nodes, max_leaf, nodes_ref, tris_ref,
         lo_z, hi_z = slab1(rec[2], rec[5], oz, inv_z)
         t_near = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
         t_far = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
-        hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5))
+        # rec[0] <= rec[3]: guard against the forest's inverted padding
+        # AABBs (min=+inf, max=-inf) — slab1's min/max(a, b) per axis would
+        # otherwise turn them into lo=-inf/hi=+inf unconditional hits,
+        # walking the whole padding chain one node per step instead of
+        # exiting at the first padding node (accel/forest.py::_pad_bvh).
+        nonempty = rec[0] <= rec[3]
+        hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5)) & nonempty
         if any_hit_mode:
             occ = occ_ref[...] != 0
             hit = hit & ~occ & (t_limit > t_near)
@@ -501,7 +507,9 @@ def _traverse_tile_hbm(n_nodes, max_leaf, nodes_ref, tris_hbm, slab_ref, sem,
         lo_z, hi_z = slab1(rec[2], rec[5], oz, inv_z)
         t_near = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
         t_far = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
-        hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5))
+        # Empty/inverted padding AABBs must miss (see _traverse_tile).
+        nonempty = rec[0] <= rec[3]
+        hit = (t_near <= t_far) & (t_far > np.float32(EPSILON5)) & nonempty
         if any_hit_mode:
             hit = hit & (occ_ref[...] == 0) & (t_limit > t_near)
         else:

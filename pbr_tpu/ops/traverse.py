@@ -403,6 +403,15 @@ def intersect_scene(
         from pbr_tpu.accel.forest import FOREST_MAX_LEAF
         from pbr_tpu.ops.pallas_bvh import intersect_bvh_forest
 
+        if scene.forest is None:
+            raise ValueError(
+                "mode='pallas_bvh_forest' needs a scene with a BVH forest; "
+                "this scene has none (forests are built only when the "
+                "single-tree packet kernel cannot hold the scene — "
+                "scene/build.py — or explicitly via accel.forest."
+                "build_forest)."
+            )
+
         if light_pos is not None:
             _, face, occ = intersect_bvh_forest(
                 xp, o_s, d_s, scene.forest, scene.bvh,

@@ -156,8 +156,6 @@ def sharded_train_step(
     @functools.partial(jax.jit, static_argnames=("settings", "lr"))
     def run(scene, cam, ids, tr, tg, tb, seed, settings, lr):
         def shard_fn(scene, cam, ids, tr, tg, tb, seed):
-            tris, bvh = scene.tris, scene.bvh
-
             def loss_fn(params):
                 """LOCAL loss: this shard's error contribution only. The
                 cross-shard sum happens once, after grad — taking grads of a

@@ -86,19 +86,17 @@ def build_scene(
             )
         tris = permute_triangles(tris, leaf_order)
     forest = None
-    if (
-        bvh is not None
-        and phong_tess_alpha == 0.0
-        and tris.count > 10_000
-    ):
-        # Beyond the brute Pallas kernel's SMEM window the TPU-servable
-        # intersector is the forest of VMEM-resident sub-BVHs built over
-        # contiguous (spatially coherent) runs of the main BVH's leaf
-        # order (accel/forest.py; intersect_scene auto-dispatches it).
-        # Curved Phong-tess patches keep the single inflated-AABB tree.
+    if bvh is not None and phong_tess_alpha == 0.0:
         from pbr_tpu.accel.forest import build_forest
+        from pbr_tpu.ops.pallas_bvh import packet_fits
 
-        forest = build_forest(tris)
+        # Only scenes the single-tree packet kernel canNOT serve get a
+        # forest (auto-dispatch prefers the packet kernel while its VMEM
+        # tables fit — ops/traverse.py — so building a forest below that
+        # bound would only duplicate geometry that is never walked).
+        # Curved Phong-tess patches keep the single inflated-AABB tree.
+        if not packet_fits(bvh, tris):
+            forest = build_forest(tris)
     materials = obj.mtl.to_soa()
     lights = lights_to_soa(obj.lights) if obj.lights else no_lights()
     return Scene(

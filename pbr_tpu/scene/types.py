@@ -173,6 +173,33 @@ class BVHForest(NamedTuple):
         return int(self.face_ids.shape[0]) // len(self.bvhs)
 
 
+class ClusterSet(NamedTuple):
+    """Face clusters for the cull-and-sweep intersector (accel/clusters.py).
+
+    - ``bb_min``/``bb_max``: (C,) cluster AABBs (the cull stage's test
+      targets);
+    - ``coeffs``: (C, K_ROWS, 4*size) f32 per-cluster Möller-Trumbore
+      coefficient blocks in the hoisted linear form, streamed from HBM by
+      the sweep kernel's pipeline (layout contract in accel/clusters.py);
+    - ``scene_min``/``scene_max``: scalar Vec3 scene bounds (Morton keys
+      for the coherence sort, independent of any BVH).
+    """
+
+    bb_min: Vec3
+    bb_max: Vec3
+    coeffs: object  # (C, K_ROWS, 4*size) f32
+    scene_min: Vec3
+    scene_max: Vec3
+
+    @property
+    def count(self) -> int:
+        return int(self.coeffs.shape[0])
+
+    @property
+    def size(self) -> int:
+        return int(self.coeffs.shape[2]) // 4
+
+
 class Scene(NamedTuple):
     """Everything the render kernel needs, as one pytree."""
 
@@ -181,6 +208,7 @@ class Scene(NamedTuple):
     materials: MaterialsSoA
     lights: LightsSoA
     forest: Optional[BVHForest] = None
+    clusters: Optional[ClusterSet] = None
 
     @property
     def num_faces(self) -> int:

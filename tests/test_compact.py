@@ -9,6 +9,8 @@ pixel-keyed (rng.gather) and every per-lane operation is unchanged.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

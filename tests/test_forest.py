@@ -147,15 +147,21 @@ def test_intersect_scene_dispatches_forest():
 
 
 def test_big_scene_builds_forest():
-    """build_scene attaches a forest above the brute-SMEM window and the
+    """build_scene attaches a forest exactly when the single-tree packet
+    kernel cannot hold the scene (ops/pallas_bvh.py::packet_fits), and the
     sub-tables respect the packet kernel's VMEM row budget."""
-    from pbr_tpu.ops.pallas_bvh import PALLAS_BVH_MAX_ROWS
+    from pbr_tpu.ops.pallas_bvh import PALLAS_BVH_MAX_ROWS, packet_fits
 
-    scene, _ = scene_from_text(random_soup(10_500, seed=0), use_bvh=True)
+    scene, _ = scene_from_text(random_soup(16_000, seed=0), use_bvh=True)
+    assert not packet_fits(scene.bvh, scene.tris)
     assert scene.forest is not None
     assert len(scene.forest.bvhs) == 2
     for b in scene.forest.bvhs:
         assert b.count + scene.forest.chunk_size <= PALLAS_BVH_MAX_ROWS
-    # Small scenes don't pay for one.
+    # Scenes the packet kernel CAN hold don't pay for one (auto-dispatch
+    # would never walk it — advisor round 2).
+    mid, _ = scene_from_text(random_soup(10_500, seed=0), use_bvh=True)
+    assert packet_fits(mid.bvh, mid.tris)
+    assert mid.forest is None
     small, _ = scene_from_text(random_soup(200, seed=0), use_bvh=True)
     assert small.forest is None

@@ -12,6 +12,8 @@ import functools
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pbr_tpu.models.integrator import trace_rays
 from pbr_tpu.scene.types import Scene
 from util import cornell_scene, to_jax

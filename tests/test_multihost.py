@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pbr_tpu.parallel.mesh import make_mesh, sharded_render
 from pbr_tpu.parallel.multihost import (
     global_mesh,

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pbr_tpu.ops.intersect import INF
 from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet
 from pbr_tpu.ops.traverse import intersect_brute, intersect_bvh

@@ -6,6 +6,10 @@ chip. Ground truth is the XLA sweep (``intersect_brute``) and the
 integrator's separate-shadow formulation.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

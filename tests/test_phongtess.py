@@ -1,5 +1,9 @@
 """Phong tessellation: cubic solver, patch intersection, integration."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from pbr_tpu.ops.phongtess import (

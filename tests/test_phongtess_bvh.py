@@ -13,6 +13,8 @@ import numpy as np
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pbr_tpu.ops.phongtess import (
     intersect_brute_phongtess,
     intersect_scene_phongtess,

@@ -10,6 +10,8 @@ import functools
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pbr_tpu.models.integrator import trace_rays
 from pbr_tpu.parallel.mesh import (
     _shard_seed,
