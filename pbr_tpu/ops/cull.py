@@ -75,6 +75,12 @@ def frustum_hits(
     is in front (the same gate as the per-ray slab test,
     ops/intersect.py::slab_box). ``t_cap`` (T,): optional conservative
     upper bound on useful t (e.g. max shadow-ray length per tile).
+
+    The entry bound additionally takes the Euclidean box-to-box distance —
+    valid for UNIT ray directions (every integrator ray is normalized) and
+    independent of the direction interval entirely, so tiles with mixed
+    direction signs (e.g. diffuse-bounce tiles reusing the primary pixel
+    order) still get a useful near-to-far ordering and early-out key.
     """
     t_entry = xp.full((o_lo.x.shape[0], bb_min.x.shape[0]), -_BIG, dtype=xp.float32)
     t_exit = xp.full_like(t_entry, _BIG)
@@ -105,6 +111,21 @@ def frustum_hits(
         pure_c = pure[:, None]
         t_entry = xp.maximum(t_entry, xp.where(pure_c, t_lo, -_BIG))
         t_exit = xp.minimum(t_exit, xp.where(pure_c, t_hi, _BIG))
+
+    # Box-to-box distance lower bound (unit directions): per-axis gap.
+    d2 = xp.zeros_like(t_entry)
+    for ol, oh, sl, sh in (
+        (o_lo.x, o_hi.x, bb_min.x, bb_max.x),
+        (o_lo.y, o_hi.y, bb_min.y, bb_max.y),
+        (o_lo.z, o_hi.z, bb_min.z, bb_max.z),
+    ):
+        gap = xp.maximum(
+            xp.maximum(sl[None, :] - oh[:, None], ol[:, None] - sh[None, :]),
+            F32(0.0),
+        )
+        d2 = d2 + gap * gap
+    dist = xp.sqrt(d2)
+    t_entry = xp.maximum(t_entry, dist)
 
     hit = (t_entry <= t_exit) & (t_exit > F32(EPSILON5))
     if t_cap is not None:

@@ -1,0 +1,376 @@
+"""Sweep stage of the cull-and-sweep intersector (Pallas, TPU).
+
+The TPU-native replacement for per-ray BVH traversal at any scene size
+(the reference walks one deep tree per ray at full rate,
+pt_bvh.cl:82-123; a TPU has no per-lane control flow, and the measured
+tile-uniform walks lose to brute force — docs/PERF.md). Design:
+
+- **No traversal at all.** ops/cull.py precomputes, per (tile)-ray tile,
+  the near-to-far ordered list of candidate face clusters
+  (accel/clusters.py) with conservative entry bounds. The kernel is a
+  dense sweep over that list: grid = (tiles, slots).
+- **HBM streaming via the pipeline, not manual DMA.** The per-cluster
+  Möller-Trumbore coefficient blocks stay in HBM; a
+  PrefetchScalarGridSpec index_map keyed on the candidate list makes the
+  Pallas pipeline fetch (and double-buffer) exactly the blocks each tile
+  needs. No DMA-inside-loop — the construction this environment's Mosaic
+  is known to reject (docs/PERF.md "Big-scene intersector status") — and
+  no VMEM residency cap on scene size.
+- **MXU cross product.** Ray x face Möller-Trumbore in the hoisted
+  linear form is bilinear, so one thin-K matmul per step evaluates
+  det/tnum/unum/vnum for all (tile x cluster-size) pairs at once:
+  (K_ROWS, 4S) coefficients contracted with (K_ROWS, tile) ray features.
+- **Occlusion early-out.** Candidates arrive near-to-far; a tile stops
+  (per-tile SMEM flag, scalar carry only) once every ray's best hit is
+  closer than the next cluster's conservative entry bound — the analog of
+  the reference's per-ray `t_best > t_near` cut, lifted to tile
+  granularity where it is almost as strong because tiles are coherent.
+- **Exact global tie-breaking.** The nearest update keeps
+  (t, face-id)-lexicographic minima, so results equal the memory-order
+  first-face-wins contract of every other intersector regardless of the
+  near-to-far processing order.
+
+Ray-feature rows (accel/clusters.py constants): [o, d, o x d, 1, t_limit].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from pbr_tpu.accel.clusters import K_ROWS
+from pbr_tpu.ops.intersect import INF
+from pbr_tpu.utils.config import EPSILON5
+
+_LANES = 128
+
+
+def _precision(name: str):
+    import jax
+
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+def _kernel(S, L, precision, any_hit,
+            cand_ref, cnt_ref, tent_ref,
+            coeff_ref, rays_ref, tin_ref, fin_ref,
+            t_ref, f_ref, done_s):
+    """One (tile-)step: sweep candidate cluster ``cand[t, l]``.
+
+    Nearest mode (``any_hit=False``): seeded (t, face) running minima in
+    the revisited out blocks. Any-hit mode: ``tin_ref``/``t_ref`` carry
+    the occlusion mask as f32 0/1 (one output layout serves both), and
+    row R_TLIM of the ray features carries each ray's shadow distance.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        t_ref[...] = tin_ref[...]
+        f_ref[...] = fin_ref[...]
+        done_s[0] = 0
+
+    exec_ = (l < cnt_ref[t]) & (done_s[0] == 0)
+
+    @pl.when(exec_)
+    def _():
+        cid = cand_ref[t, l]
+        coeff = coeff_ref[0]  # (K_ROWS, 4S)
+        rays = rays_ref[0]  # (K_ROWS, tile)
+        out = jax.lax.dot_general(
+            coeff, rays, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # (4S, tile)
+        det = out[0:S]
+        tnum = out[S : 2 * S]
+        unum = out[2 * S : 3 * S]
+        vnum = out[3 * S : 4 * S]
+        inv = 1.0 / det
+        tt = tnum * inv
+        u = unum * inv
+        v = vnum * inv
+        valid = (
+            (tt >= np.float32(EPSILON5)) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        )
+
+        if any_hit:
+            t_lim = rays[10:11, :]  # R_TLIM row, (1, tile)
+            occ_new = jnp.any(valid & (tt < t_lim), axis=0, keepdims=True)
+            occ = jnp.maximum(t_ref[...], occ_new.astype(jnp.float32))
+            t_ref[...] = occ
+            # Done once every not-yet-occluded ray's light distance is
+            # nearer than the next cluster's entry bound (occluded rays
+            # drop out via -BIG).
+            watch = jnp.where(occ > 0.0, np.float32(-3.0e38), t_lim)
+            done_s[0] = (jnp.max(watch) <= tent_ref[t, l + 1]).astype(jnp.int32)
+        else:
+            tt = jnp.where(valid, tt, INF)
+            tmin = jnp.min(tt, axis=0, keepdims=True)  # (1, tile)
+            rowid = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+            fsub = jnp.min(
+                jnp.where(tt == tmin, rowid, np.int32(2**30)), axis=0, keepdims=True
+            )
+            fid = cid * S + fsub  # (1, tile) global face id (clusters are
+            # contiguous main-order runs)
+            t_best = t_ref[...]
+            f_best = f_ref[...]
+            hit = tmin < INF
+            better = hit & (
+                (tmin < t_best) | ((tmin == t_best) & (fid < f_best))
+            )
+            t_new = jnp.where(better, tmin, t_best)
+            t_ref[...] = t_new
+            f_ref[...] = jnp.where(better, fid, f_best)
+            done_s[0] = (jnp.max(t_new) <= tent_ref[t, l + 1]).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
+                precision: str, any_hit: bool, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # cand, cnt, tent
+        grid=(n_tiles, slots),
+        in_specs=[
+            pl.BlockSpec(  # coefficient block of the step's candidate
+                (1, K_ROWS, 4 * s),
+                lambda t, l, cand, cnt, tent: (cand[t, l], 0, 0),
+            ),
+            pl.BlockSpec((1, K_ROWS, tile), lambda t, l, *_: (t, 0, 0)),
+            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),  # t seed
+            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),  # f seed
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),
+            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),
+        ),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, s, slots, _precision(precision), any_hit),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+
+
+_BIG_NEG = np.float32(-3.0e38)
+
+
+def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
+                  t0, f0, slots: int, any_hit: bool, watch_ref=None):
+    """Run the sweep in rounds of ``slots`` candidate slots, skipping whole
+    rounds (lax.cond — compiled both ways, executed only when needed) once
+    every tile is done: exhausted its candidates, early-outed on the entry
+    bounds, or (any-hit) fully occluded. ``watch_ref``: (T, tile) f32 of
+    per-ray shadow distances (any-hit's early-out key).
+    """
+    import jax
+
+    t_tiles, c = cand.shape
+    l = min(slots, c)
+    r_rounds = -(-c // l)
+    pad_c = r_rounds * l - c
+    if pad_c:
+        cand = jnp.concatenate([cand, jnp.repeat(cand[:, -1:], pad_c, 1)], axis=1)
+        tent_tail = jnp.full((t_tiles, pad_c), np.float32(3.0e38), jnp.float32)
+        tent = jnp.concatenate([tent[:, :c], tent_tail, tent[:, c:]], axis=1)
+
+    t_cur, f_cur = t0, f0
+    for r in range(r_rounds):
+        lo = r * l
+        cand_r = jax.lax.dynamic_slice_in_dim(cand, lo, l, 1)
+        tent_r = jax.lax.dynamic_slice_in_dim(tent, lo, l + 1, 1)
+        cnt_r = jnp.clip(cnt - np.int32(lo), 0, l)
+        if r == 0:
+            t_cur, f_cur = call_fn(cand_r, cnt_r, tent_r, coeff, feats, t_cur, f_cur)
+            continue
+        # Tile-done criterion at the round boundary — exactly the kernel's
+        # in-step early-out, evaluated in XLA.
+        if any_hit:
+            key = jnp.where(t_cur > 0.0, _BIG_NEG, watch_ref)
+        else:
+            key = t_cur
+        tmax = jnp.max(key, axis=1)
+        done = (cnt <= np.int32(lo)) | (tmax <= tent[:, lo])
+        live = jnp.any(~done)
+        # Done tiles: collapse their candidate row to one repeated entry
+        # (the pipeline dedupes equal consecutive block fetches) and zero
+        # their count.
+        cand_r = jnp.where(done[:, None], cand_r[:, :1], cand_r)
+        cnt_r = jnp.where(done, 0, cnt_r)
+
+        def run(args):
+            cand_r, cnt_r, tent_r, t_cur, f_cur = args
+            return call_fn(cand_r, cnt_r, tent_r, coeff, feats, t_cur, f_cur)
+
+        def skip(args):
+            return args[3], args[4]
+
+        t_cur, f_cur = jax.lax.cond(
+            live, run, skip, (cand_r, cnt_r, tent_r, t_cur, f_cur)
+        )
+    return t_cur, f_cur
+
+
+def intersect_cull(
+    xp, o, d, cset, light_pos=None, alive=None, tile: int = 256,
+    slots: int = 128, precision: str = "highest", sort: bool = False,
+    interpret: bool = False,
+):
+    """Nearest-hit over a ClusterSet via cull-and-sweep (jax + TPU only).
+
+    Same contract as ``intersect_brute`` — ``(t, face)`` with face = -1 on
+    miss and memory-order first-face-wins tie-breaking (exact, via the
+    kernel's (t, face)-lexicographic minima). With ``light_pos`` (scalar
+    Vec3, light 0) the NEE shadow any-hit runs as a second cull+sweep pass
+    on the derived shadow rays and ``(t, face, occluded)`` is returned.
+
+    ``alive``: optional per-ray liveness. Dead lanes keep their (stale)
+    ray values — so tile frustums stay tight — but are seeded closed
+    (t = -BIG), contribute no work, never block a tile's early-out, and
+    report face = -1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.cull import candidates, coherence_keys
+    from pbr_tpu.ops.vec import Vec3
+
+    c = cset.coeffs.shape[0]
+    s = cset.coeffs.shape[2] // 4
+    shape = o.x.shape
+    flat = int(np.prod(shape)) if shape else 1
+    pad = (-flat) % tile
+    total = flat + pad
+    n_tiles = total // tile
+    slots = min(slots, c)
+
+    def prep(a, mode="edge"):
+        a = a.reshape(-1)
+        if pad:
+            a = jnp.pad(a, (0, pad), mode=mode)
+        return a
+
+    ox, oy, oz = prep(o.x), prep(o.y), prep(o.z)
+    dx, dy, dz = prep(d.x), prep(d.y), prep(d.z)
+    if alive is None:
+        alive_f = jnp.ones((total,), dtype=bool)
+    else:
+        alive_f = prep(alive.astype(jnp.int32)) != 0
+    if pad:
+        alive_f = alive_f.at[flat:].set(False)
+
+    perm = inv_perm = None
+    if sort:
+        keys = coherence_keys(
+            jnp, Vec3(ox, oy, oz), Vec3(dx, dy, dz), cset.scene_min, cset.scene_max
+        )
+        perm = jnp.argsort(keys)
+        inv_perm = jnp.argsort(perm)
+        ox, oy, oz, dx, dy, dz, alive_f = (
+            a[perm] for a in (ox, oy, oz, dx, dy, dz, alive_f)
+        )
+
+    coeff = cset.coeffs
+
+    def feats_of(ox, oy, oz, dx, dy, dz, tlim):
+        cx = oy * dz - oz * dy
+        cy = oz * dx - ox * dz
+        cz = ox * dy - oy * dx
+        ones = jnp.ones_like(ox)
+        zeros = jnp.zeros_like(ox)
+        rows = [ox, oy, oz, dx, dy, dz, cx, cy, cz, ones, tlim] + [zeros] * (
+            K_ROWS - 11
+        )
+        f = jnp.stack(rows, axis=0)  # (K_ROWS, N)
+        return f.reshape(K_ROWS, n_tiles, tile).transpose(1, 0, 2)
+
+    def run_pass(ov, dv, tlim, seed_t, seed_f, any_hit, t_cap, watch):
+        cand, cnt, tent = candidates(
+            jnp, ov, dv, cset, tile, t_cap=t_cap
+        )
+        tent = jnp.concatenate(
+            [tent, jnp.full((n_tiles, 1), np.float32(3.0e38), jnp.float32)], axis=1
+        )
+        feats = feats_of(ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tlim)
+        call = _build_call(
+            c, s, tile, n_tiles, min(slots, c), precision, any_hit, interpret
+        )
+        return _sweep_rounds(
+            jnp, call, cand, cnt, tent, coeff, feats,
+            seed_t.reshape(n_tiles, tile), seed_f.reshape(n_tiles, tile),
+            slots, any_hit, watch_ref=watch,
+        )
+
+    zeros = jnp.zeros((total,), jnp.float32)
+    t_seed = jnp.where(alive_f, INF, _BIG_NEG)
+    f_seed = jnp.full((total,), -1, jnp.int32)
+    t_out, f_out = run_pass(
+        Vec3(ox, oy, oz), Vec3(dx, dy, dz), zeros, t_seed, f_seed,
+        any_hit=False, t_cap=None, watch=None,
+    )
+    t_flat = t_out.reshape(-1)
+    f_flat = f_out.reshape(-1)
+
+    occ_flat = None
+    if light_pos is not None:
+        one = np.float32(1.0)
+        lpx = jax.lax.stop_gradient(jnp.asarray(light_pos.x, jnp.float32))
+        lpy = jax.lax.stop_gradient(jnp.asarray(light_pos.y, jnp.float32))
+        lpz = jax.lax.stop_gradient(jnp.asarray(light_pos.z, jnp.float32))
+        # Shadow-ray derivation: the same guarded math as the fused NEE
+        # kernels (pallas_intersect.py::_kernel_nee) so golden parity holds.
+        hit = (t_flat < INF) & (t_flat > 0.0) & alive_f
+        ts = jnp.where(hit, t_flat, one)
+        hx = ox + dx * ts
+        hy = oy + dy * ts
+        hz = oz + dz * ts
+        lx = lpx - hx
+        ly = lpy - hy
+        lz = lpz - hz
+        len2 = lx * lx + ly * ly + lz * lz
+        pos = len2 > 0.0
+        t_light = jnp.where(pos, jnp.sqrt(jnp.where(pos, len2, one)), 0.0)
+        okd = jnp.abs(t_light) > np.float32(1e-12)
+        inv = jnp.where(okd, one / jnp.where(okd, t_light, one), 0.0)
+        sx = lx * inv
+        sy = ly * inv
+        sz = lz * inv
+        t_cap = jnp.max(
+            jnp.where(hit, t_light, 0.0).reshape(n_tiles, tile), axis=1
+        )
+        occ_seed = jnp.where(hit, 0.0, 1.0).astype(jnp.float32)
+        watch = jnp.where(hit, t_light, _BIG_NEG).reshape(n_tiles, tile)
+        occ_out, _ = run_pass(
+            Vec3(hx, hy, hz), Vec3(sx, sy, sz), t_light, occ_seed, f_seed,
+            any_hit=True, t_cap=t_cap, watch=watch,
+        )
+        occ_flat = occ_out.reshape(-1) > 0.0
+
+    if sort:
+        t_flat, f_flat = t_flat[inv_perm], f_flat[inv_perm]
+        if occ_flat is not None:
+            occ_flat = occ_flat[inv_perm]
+    t_res = t_flat[:flat].reshape(shape)
+    f_res = f_flat[:flat].reshape(shape)
+    if light_pos is not None:
+        return t_res, f_res, occ_flat[:flat].reshape(shape)
+    return t_res, f_res

@@ -1,0 +1,195 @@
+"""Cull-and-sweep intersector correctness (interpret mode on CPU).
+
+The cull stage (ops/cull.py) must be CONSERVATIVE: a tile's candidate list
+may carry extra clusters but never miss one any of its rays truly hits,
+and each slot's entry bound must lower-bound every true hit distance in
+that cluster (the sweep's early-out soundness). The sweep
+(ops/pallas_cull.py) must then match the brute-force oracle exactly —
+same faces, memory-order first-face-wins — regardless of candidate order,
+round splitting, or liveness masking.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pbr_tpu.accel.clusters import build_clusters
+from pbr_tpu.ops.cull import candidates, coherence_keys
+from pbr_tpu.ops.pallas_cull import intersect_cull
+from pbr_tpu.ops.traverse import intersect_brute
+from pbr_tpu.ops.vec import Vec3
+from pbr_tpu.scene.build import scene_from_text
+from pbr_tpu.scene.procedural import random_soup
+
+
+def _scene(n=400, seed=0, csize=64):
+    scene, _ = scene_from_text(random_soup(n, seed=seed), use_bvh=True)
+    cset = build_clusters(scene.tris, size=csize)
+    return scene, cset
+
+
+def _rays(n, seed=1, adversarial=True):
+    rs = np.random.RandomState(seed)
+    o = rs.uniform(-2.5, 2.5, size=(n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    if adversarial:
+        # Axis-aligned directions and zero components hit the slab-test
+        # edge cases (division by zero, origin on plane).
+        k = n // 8
+        d[:k, :2] = 0.0
+        d[k : 2 * k, 2] = 0.0
+        o[2 * k : 3 * k, 0] = 0.0
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    return o, d
+
+
+def _sorted_vec(o, d, cset, tile):
+    ov = Vec3(o[:, 0], o[:, 1], o[:, 2])
+    dv = Vec3(d[:, 0], d[:, 1], d[:, 2])
+    keys = coherence_keys(np, ov, dv, cset.scene_min, cset.scene_max)
+    perm = np.argsort(keys, kind="stable")
+    return o[perm], d[perm]
+
+
+def test_candidates_conservative_and_entry_sound():
+    scene, cset = _scene(400, csize=64)
+    tile = 64
+    o, d = _rays(512, seed=3)
+    o, d = _sorted_vec(o, d, cset, tile)
+    ov = Vec3(o[:, 0], o[:, 1], o[:, 2])
+    dv = Vec3(d[:, 0], d[:, 1], d[:, 2])
+    cand, counts, tent = candidates(np, ov, dv, cset, tile)
+
+    # Per-ray truth: all hit faces (not just nearest) via every-face MT.
+    from pbr_tpu.ops.intersect import moller_trumbore
+
+    ob = Vec3(o[:, 0:1], o[:, 1:2], o[:, 2:3])
+    db = Vec3(d[:, 0:1], d[:, 1:2], d[:, 2:3])
+    tr = scene.tris
+    v0 = Vec3(tr.v0.x[None, :], tr.v0.y[None, :], tr.v0.z[None, :])
+    e1 = Vec3(tr.e1.x[None, :], tr.e1.y[None, :], tr.e1.z[None, :])
+    e2 = Vec3(tr.e2.x[None, :], tr.e2.y[None, :], tr.e2.z[None, :])
+    with np.errstate(all="ignore"):
+        t_all, valid = moller_trumbore(np, ob, db, v0, e1, e2)  # (N, F)
+    t_all = np.where(valid, t_all, np.inf)
+
+    size = cset.size
+    for t in range(o.shape[0] // tile):
+        rows = slice(t * tile, (t + 1) * tile)
+        tt = t_all[rows]  # (tile, F)
+        hit_faces = np.where(np.isfinite(tt).any(axis=0))[0]
+        hit_clusters = np.unique(hit_faces // size)
+        listed = set(cand[t, : counts[t]].tolist())
+        for cl in hit_clusters:
+            assert cl in listed, f"tile {t}: cluster {cl} missed by cull"
+            slot = cand[t, : counts[t]].tolist().index(cl)
+            t_min_cl = tt[:, cl * size : (cl + 1) * size].min()
+            assert tent[t, slot] <= t_min_cl + 1e-4, (
+                f"tile {t} cluster {cl}: entry bound {tent[t, slot]} above "
+                f"true nearest {t_min_cl}"
+            )
+
+
+def test_candidates_jax_matches_numpy():
+    _, cset = _scene(300, csize=64)
+    tile = 64
+    o, d = _rays(256, seed=5)
+    o, d = _sorted_vec(o, d, cset, tile)
+    ov_np = Vec3(o[:, 0], o[:, 1], o[:, 2])
+    dv_np = Vec3(d[:, 0], d[:, 1], d[:, 2])
+    c_np, n_np, t_np = candidates(np, ov_np, dv_np, cset, tile)
+    jset = jax.tree_util.tree_map(jnp.asarray, cset)
+    ov_j = Vec3(*(jnp.asarray(a) for a in ov_np))
+    dv_j = Vec3(*(jnp.asarray(a) for a in dv_np))
+    c_j, n_j, t_j = candidates(jnp, ov_j, dv_j, jset, tile)
+    np.testing.assert_array_equal(np.asarray(n_j), n_np)
+    # Entry-distance ties can order differently across argsort backends;
+    # compare as sets per tile plus counts.
+    for t in range(c_np.shape[0]):
+        assert set(np.asarray(c_j)[t, : n_np[t]]) == set(c_np[t, : n_np[t]])
+    np.testing.assert_allclose(np.asarray(t_j), t_np, rtol=1e-6, atol=1e-6)
+
+
+def _cull_vs_brute(n_faces, n_rays, csize, tile, slots, seed=7, sort=False):
+    scene, cset = _scene(n_faces, seed=seed, csize=csize)
+    o, d = _rays(n_rays, seed=seed + 1)
+    jset = jax.tree_util.tree_map(jnp.asarray, cset)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    t_c, f_c = intersect_cull(
+        jnp, ov, dv, jset, tile=tile, slots=slots, sort=sort, interpret=True
+    )
+    jtris = jax.tree_util.tree_map(jnp.asarray, scene.tris)
+    t_b, f_b = intersect_brute(jnp, ov, dv, jtris)
+    np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_b))
+    hit = np.asarray(f_b) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t_c)[hit], np.asarray(t_b)[hit], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cull_matches_brute():
+    _cull_vs_brute(400, 512, csize=64, tile=64, slots=128)
+
+
+def test_cull_matches_brute_sorted():
+    _cull_vs_brute(400, 512, csize=64, tile=64, slots=128, sort=True)
+
+
+def test_cull_matches_brute_multi_round():
+    # slots < cluster count forces the round loop (and its lax.cond skips).
+    _cull_vs_brute(400, 256, csize=32, tile=64, slots=3)
+
+
+def test_cull_odd_batch_padding():
+    _cull_vs_brute(200, 333, csize=64, tile=64, slots=8)
+
+
+def test_cull_alive_mask():
+    scene, cset = _scene(300, seed=2, csize=64)
+    o, d = _rays(256, seed=9)
+    jset = jax.tree_util.tree_map(jnp.asarray, cset)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    alive = jnp.asarray((np.arange(256) % 3) != 0)
+    t_c, f_c = intersect_cull(
+        jnp, ov, dv, jset, alive=alive, tile=64, slots=128, interpret=True
+    )
+    jtris = jax.tree_util.tree_map(jnp.asarray, scene.tris)
+    _, f_b = intersect_brute(jnp, ov, dv, jtris)
+    a = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(f_c)[a], np.asarray(f_b)[a])
+    assert np.all(np.asarray(f_c)[~a] == -1)
+
+
+def test_cull_nee_occlusion_matches_separate():
+    scene, cset = _scene(400, seed=4, csize=64)
+    o, d = _rays(384, seed=11)
+    jset = jax.tree_util.tree_map(jnp.asarray, cset)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    lp = Vec3(
+        jnp.float32(0.0), jnp.float32(2.4), jnp.float32(0.0)
+    )
+    t_c, f_c, occ = intersect_cull(
+        jnp, ov, dv, jset, light_pos=lp, tile=64, slots=64, interpret=True
+    )
+    jtris = jax.tree_util.tree_map(jnp.asarray, scene.tris)
+    t_b, f_b = intersect_brute(jnp, ov, dv, jtris)
+    np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_b))
+    # Reference occlusion: guarded hit-point/shadow math + brute any-hit.
+    t_b = np.asarray(t_b)
+    f_bn = np.asarray(f_b)
+    hit = f_bn >= 0
+    ts = np.where(hit, t_b, 1.0)
+    on = np.stack([o[:, i] + d[:, i] * ts for i in range(3)], 1)
+    lv = np.array([0.0, 2.4, 0.0]) - on
+    t_light = np.linalg.norm(lv, axis=1)
+    sd = lv / np.maximum(t_light, 1e-12)[:, None]
+    ovs = Vec3(*(jnp.asarray(on[:, i].astype(np.float32)) for i in range(3)))
+    dvs = Vec3(*(jnp.asarray(sd[:, i].astype(np.float32)) for i in range(3)))
+    t_s, _ = intersect_brute(jnp, ovs, dvs, jtris)
+    occ_ref = np.asarray(t_s) < t_light.astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(occ)[hit], occ_ref[hit])

@@ -100,10 +100,14 @@ def _mt_t(o, d, v0, e1, e2):
         return t.min(axis=1)
 
 
-def early_out_sim(scene, name, n_rays, tile, csize):
+def early_out_sim(scene, name, n_rays, tile, csize, n_full=1_048_576):
     """Simulate the sweep's occlusion early-out: near-to-far candidates,
     stop a tile when every ray's best hit is closer than the next
-    cluster's conservative entry bound. Reports EXECUTED steps."""
+    cluster's conservative entry bound. Reports EXECUTED steps.
+
+    Tiles are sliced out of a FULL-density (``n_full``) sorted population —
+    sparse populations make tiles cover unrealistically wide footprints —
+    with truth computed only for the sampled slices."""
     cset = build_clusters(scene.tris, size=csize)
     v0 = scene.tris.v0.stack(np)
     e1 = scene.tris.e1.stack(np)
@@ -116,19 +120,25 @@ def early_out_sim(scene, name, n_rays, tile, csize):
     cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
     print(f"--- early-out sim {name} tile={tile} csize={csize} C={cset.count} ---")
     for pop, (o, d) in {
-        "primary": primary_rays(cam, n_rays),
-        "bounce": surface_rays(scene.tris, n_rays, 3, "bounce"),
-        "shadow": surface_rays(scene.tris, n_rays, 4, "shadow"),
+        "primary": primary_rays(cam, n_full, size=1024),
+        "bounce": surface_rays(scene.tris, n_full, 3, "bounce"),
+        "shadow": surface_rays(scene.tris, n_full, 4, "shadow"),
     }.items():
         ov = Vec3(o[:, 0], o[:, 1], o[:, 2])
         dv = Vec3(d[:, 0], d[:, 1], d[:, 2])
         keys = coherence_keys(np, ov, dv, cset.scene_min, cset.scene_max)
         perm = np.argsort(keys, kind="stable")
         o, d = o[perm], d[perm]
+        # Sample contiguous slices (tiles) across the sorted population.
+        n_tiles = max(1, n_rays // tile)
+        t_all = n_full // tile
+        sel = np.linspace(0, t_all - 1, n_tiles).astype(np.int64)
+        idx = (sel[:, None] * tile + np.arange(tile)[None, :]).reshape(-1)
+        o, d = o[idx], d[idx]
         ov = Vec3(o[:, 0], o[:, 1], o[:, 2])
         dv = Vec3(d[:, 0], d[:, 1], d[:, 2])
         cand, counts, tent = candidates(np, ov, dv, cset, tile)
-        T = n_rays // tile
+        T = n_tiles
         steps_ex = np.zeros(T, np.int64)
         for t in range(T):
             ot, dt = o[t * tile : (t + 1) * tile], d[t * tile : (t + 1) * tile]
