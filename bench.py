@@ -40,16 +40,18 @@ def main() -> None:
     ap.add_argument(
         "--scene",
         default="cornell",
-        help="'cornell' (default, the BASELINE metric) or 'soup:N' — N random "
-        "triangles under an orb light (milestone config 5's geometry leg; "
-        "always BVH-accelerated)",
+        help="'cornell' (default, the BASELINE metric), 'suzanne' (the "
+        "reference's own 1,082-face test scene — the scale its debug "
+        "normalization bakes in, pathtracing.cl:75-76), or 'soup:N' — N "
+        "random triangles under an orb light (milestone config 5's "
+        "geometry leg; always BVH-accelerated)",
     )
     ap.add_argument(
         "--intersector",
         default=None,
         choices=[
             "brute", "gemm", "pallas", "bvh", "pallas_bvh",
-            "pallas_bvh_forest", "pallas_bvh_hbm",
+            "pallas_bvh_forest", "pallas_bvh_hbm", "cull",
         ],
         help="override the intersector dispatch (default: auto)",
     )
@@ -107,6 +109,7 @@ def main() -> None:
     from pbr_tpu.utils.config import RenderSettings
 
     size = 256 if args.quick else args.size
+    sky_override = (0.85, 0.9, 1.0)
     if args.scene.startswith("soup:"):
         from pbr_tpu.scene.procedural import random_soup
 
@@ -135,6 +138,21 @@ def main() -> None:
                 f"{scene.forest.bvhs[0].count} nodes; accel/forest.py)",
                 file=sys.stderr,
             )
+    elif args.scene == "suzanne":
+        import os
+
+        from pbr_tpu.io.loader import load_model
+
+        ref = "/root/reference/resources/models/testing/suzanne.obj"
+        if not os.path.isfile(ref):
+            print("[bench] suzanne scene needs the reference checkout", file=sys.stderr)
+            sys.exit(2)
+        # load_model needs shadow_rays>0 to pick up the .lights companion.
+        scene, lset, _ = load_model(ref, RenderSettings(shadow_rays=1))
+        sky_override = lset.sky_light
+        # Reference default camera (config.json camera.eye/center).
+        cam = make_camera_state(eye=(0.0, 1.0, 3.0), center_dir=(0.0, 0.0, 1.0))
+        scene_tag = "suzanne"
     else:
         obj, mtl, li = cornell_box()
         # TPU-first intersector choice: brute-force beats BVH traversal for a
@@ -151,7 +169,7 @@ def main() -> None:
         max_added_depth=5,
         shadow_rays=1,
         anti_aliasing=0.7,
-        sky_light=(0.85, 0.9, 1.0),
+        sky_light=sky_override,
         bounce_loop="unroll",  # production: runtime over compile time
         # Row-granular live compaction: lane-level compaction is a loss on
         # TPU (per-lane gathers serialize — measured ~100 ms/point at 1M
@@ -226,7 +244,6 @@ def main() -> None:
     # sub-millisecond device time. Sustained throughput is what ships.
     K = args.frames_per_step
     from pbr_tpu.ops import rng as rng_mod
-    from pbr_tpu.scene.types import Scene
 
     if args.fwd_only:
 
@@ -244,12 +261,11 @@ def main() -> None:
 
         @functools.partial(jax.jit, static_argnames=("settings",))
         def step(scene, cam, ids, seed0, settings):
-            tris, bvh = scene.tris, scene.bvh
             params0 = (scene.materials, scene.lights, cam)
 
             def frame_loss(params, seed):
                 mats, lights, camst = params
-                sc = Scene(tris=tris, bvh=bvh, materials=mats, lights=lights)
+                sc = scene._replace(materials=mats, lights=lights)
                 res = trace_rays(jnp, sc, camst, settings, ids, seed, max_leaf=max_leaf)
                 return res.color.x.sum() + res.color.y.sum() + res.color.z.sum()
 

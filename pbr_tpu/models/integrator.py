@@ -373,7 +373,18 @@ def trace_rays(
         xp.sum(xp.zeros_like(base)).astype(xp.int32) if (with_stats and schedule) else None
     )
 
-    for s in range(settings.samples):
+    def sample_body(s, sample_state):
+        """One full path per pixel (sample ``s`` of the frame).
+
+        ``s`` is a Python int under ``sample_loop='unroll'`` and a traced
+        int32 under 'scan' — the RNG is (pixel, sample, bounce)-keyed
+        either way, so numerics are identical (the reference's SAMPLES
+        loop was likewise one device-side loop, pathtracing.cl:251).
+        """
+        final_color, secondary, focus_t, n_path, n_shadow, heat, n_drop_total = (
+            sample_state
+        )
+        is_s0 = s == 0  # sample 0 owns the DoF focus channel
         o, d = _gen_rays(xp, cam, settings, px, py, rng, s, prev_t)
         color = Vec3(xp.full_like(base, 1.0), xp.full_like(base, 1.0), xp.full_like(base, 1.0))
         light_found = xp.zeros_like(base, dtype=bool)
@@ -409,11 +420,12 @@ def trace_rays(
                     l0 = Vec3(lights.pos.x[0], lights.pos.y[0], lights.pos.z[0])
                     t, face, occ_fused = intersect_scene(
                         xp, o, d, scene, max_leaf=max_leaf,
-                        mode=settings.intersector, light_pos=l0,
+                        mode=settings.intersector, light_pos=l0, alive=alive,
                     )
                 else:
                     t, face = intersect_scene(
-                        xp, o, d, scene, max_leaf=max_leaf, mode=settings.intersector
+                        xp, o, d, scene, max_leaf=max_leaf,
+                        mode=settings.intersector, alive=alive,
                     )
                 pt_u = pt_v = None
             if xp.__name__.startswith("jax") and settings.remat == "save_isect":
@@ -430,10 +442,9 @@ def trace_rays(
                 px.shape, -1, dtype=xp.int32
             )
 
-            if s == 0:
-                # focus = first-bounce hit distance of sample 0
-                # (pathtracing.cl:261).
-                focus_t = _where(xp, depth == 0, t, focus_t)
+            # focus = first-bounce hit distance of sample 0
+            # (pathtracing.cl:261).
+            focus_t = _where(xp, is_s0 & (depth == 0), t, focus_t)
 
             hit = xp.isfinite(t) & alive
             # ---- miss: sky or orb emission (pathtracing.cl:263-266) -------
@@ -749,9 +760,30 @@ def trace_rays(
             sec_s = sec_prev + xp.where(ok_lane, tk(sec_s), np.int32(0))
             if with_stats:
                 heat_s = heat_prev + xp.where(ok_lane, tk(heat_s), np.int32(0))
-        final_color = fc_s
-        secondary = sec_s
-        heat = heat_s
+        return (fc_s, sec_s, focus_t, n_path, n_shadow, heat_s, n_drop_total)
+
+    sample_state = (
+        final_color, secondary, focus_t, n_path, n_shadow, heat, n_drop_total
+    )
+    use_scan = (
+        xp.__name__.startswith("jax")
+        and settings.sample_loop == "scan"
+        and settings.samples > 1
+    )
+    if use_scan:
+        import jax
+
+        sample_state, _ = jax.lax.scan(
+            lambda c, s: (sample_body(s, c), None),
+            sample_state,
+            xp.arange(settings.samples, dtype=xp.int32),
+        )
+    else:
+        for s in range(settings.samples):
+            sample_state = sample_body(s, sample_state)
+    final_color, secondary, focus_t, n_path, n_shadow, heat, n_drop_total = (
+        sample_state
+    )
 
     final_color = final_color / secondary.astype(xp.float32)
     if settings.samples > 1:

@@ -80,6 +80,10 @@ def _kernel(S, L, precision, any_hit,
         f_ref[...] = fin_ref[...]
         done_s[0] = 0
 
+    # Per-ray state refs are (1, 1, tile) — the singleton middle dim keeps
+    # the HBM block spec legal (block trailing dims == array trailing
+    # dims); drop it for the in-step math.
+
     exec_ = (l < cnt_ref[t]) & (done_s[0] == 0)
 
     @pl.when(exec_)
@@ -106,8 +110,8 @@ def _kernel(S, L, precision, any_hit,
         if any_hit:
             t_lim = rays[10:11, :]  # R_TLIM row, (1, tile)
             occ_new = jnp.any(valid & (tt < t_lim), axis=0, keepdims=True)
-            occ = jnp.maximum(t_ref[...], occ_new.astype(jnp.float32))
-            t_ref[...] = occ
+            occ = jnp.maximum(t_ref[0], occ_new.astype(jnp.float32))
+            t_ref[0] = occ
             # Done once every not-yet-occluded ray's light distance is
             # nearer than the next cluster's entry bound (occluded rays
             # drop out via -BIG).
@@ -122,15 +126,15 @@ def _kernel(S, L, precision, any_hit,
             )
             fid = cid * S + fsub  # (1, tile) global face id (clusters are
             # contiguous main-order runs)
-            t_best = t_ref[...]
-            f_best = f_ref[...]
+            t_best = t_ref[0]
+            f_best = f_ref[0]
             hit = tmin < INF
             better = hit & (
                 (tmin < t_best) | ((tmin == t_best) & (fid < f_best))
             )
             t_new = jnp.where(better, tmin, t_best)
-            t_ref[...] = t_new
-            f_ref[...] = jnp.where(better, fid, f_best)
+            t_ref[0] = t_new
+            f_ref[0] = jnp.where(better, fid, f_best)
             done_s[0] = (jnp.max(t_new) <= tent_ref[t, l + 1]).astype(jnp.int32)
 
 
@@ -151,12 +155,12 @@ def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
                 lambda t, l, cand, cnt, tent: (cand[t, l], 0, 0),
             ),
             pl.BlockSpec((1, K_ROWS, tile), lambda t, l, *_: (t, 0, 0)),
-            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),  # t seed
-            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),  # f seed
+            pl.BlockSpec((1, 1, tile), lambda t, l, *_: (t, 0, 0)),  # t seed
+            pl.BlockSpec((1, 1, tile), lambda t, l, *_: (t, 0, 0)),  # f seed
         ],
         out_specs=(
-            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),
-            pl.BlockSpec((1, tile), lambda t, l, *_: (t, 0)),
+            pl.BlockSpec((1, 1, tile), lambda t, l, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tile), lambda t, l, *_: (t, 0, 0)),
         ),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
@@ -164,8 +168,8 @@ def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
         functools.partial(_kernel, s, slots, _precision(precision), any_hit),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
         ),
         interpret=interpret,
     )
@@ -204,10 +208,11 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
             continue
         # Tile-done criterion at the round boundary — exactly the kernel's
         # in-step early-out, evaluated in XLA.
+        flat_t = t_cur.reshape(t_tiles, -1)
         if any_hit:
-            key = jnp.where(t_cur > 0.0, _BIG_NEG, watch_ref)
+            key = jnp.where(flat_t > 0.0, _BIG_NEG, watch_ref)
         else:
-            key = t_cur
+            key = flat_t
         tmax = jnp.max(key, axis=1)
         done = (cnt <= np.int32(lo)) | (tmax <= tent[:, lo])
         live = jnp.any(~done)
@@ -230,10 +235,17 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
     return t_cur, f_cur
 
 
+# Rays per lax.map chunk: bounds the scalar-prefetch tables (cand/tent,
+# SMEM-resident — v5e has ~1 MB of SMEM) and the (T, C) cull-stage arrays.
+# 131072 rays at tile=256 is T=512 tiles: 512 x (slots+slots+2) x 4 B of
+# prefetch data per call, ~400 KB at the default 96 slots.
+CULL_CHUNK_RAYS = 131072
+
+
 def intersect_cull(
     xp, o, d, cset, light_pos=None, alive=None, tile: int = 256,
-    slots: int = 128, precision: str = "highest", sort: bool = False,
-    interpret: bool = False,
+    slots: int = 96, precision: str = "highest", sort: bool = False,
+    chunk_rays: int = CULL_CHUNK_RAYS, interpret: bool = False,
 ):
     """Nearest-hit over a ClusterSet via cull-and-sweep (jax + TPU only).
 
@@ -247,6 +259,10 @@ def intersect_cull(
     ray values — so tile frustums stay tight — but are seeded closed
     (t = -BIG), contribute no work, never block a tile's early-out, and
     report face = -1.
+
+    Batches beyond ``chunk_rays`` run as a device-side ``lax.map`` over
+    ray chunks (one compiled body): the per-call scalar-prefetch tables
+    must fit SMEM, and total work is chunk-invariant.
     """
     import jax
     import jax.numpy as jnp
@@ -258,9 +274,14 @@ def intersect_cull(
     s = cset.coeffs.shape[2] // 4
     shape = o.x.shape
     flat = int(np.prod(shape)) if shape else 1
-    pad = (-flat) % tile
+    chunk = min(
+        max(tile, (chunk_rays // tile) * tile),
+        -(-flat // tile) * tile,
+    )
+    pad = (-flat) % chunk
     total = flat + pad
-    n_tiles = total // tile
+    n_chunks = total // chunk
+    n_tiles = chunk // tile
     slots = min(slots, c)
 
     def prep(a, mode="edge"):
@@ -290,6 +311,11 @@ def intersect_cull(
         )
 
     coeff = cset.coeffs
+    nee = light_pos is not None
+    if nee:
+        lpx = jax.lax.stop_gradient(jnp.asarray(light_pos.x, jnp.float32))
+        lpy = jax.lax.stop_gradient(jnp.asarray(light_pos.y, jnp.float32))
+        lpz = jax.lax.stop_gradient(jnp.asarray(light_pos.z, jnp.float32))
 
     def feats_of(ox, oy, oz, dx, dy, dz, tlim):
         cx = oy * dz - oz * dy
@@ -300,45 +326,41 @@ def intersect_cull(
         rows = [ox, oy, oz, dx, dy, dz, cx, cy, cz, ones, tlim] + [zeros] * (
             K_ROWS - 11
         )
-        f = jnp.stack(rows, axis=0)  # (K_ROWS, N)
+        f = jnp.stack(rows, axis=0)  # (K_ROWS, chunk)
         return f.reshape(K_ROWS, n_tiles, tile).transpose(1, 0, 2)
 
     def run_pass(ov, dv, tlim, seed_t, seed_f, any_hit, t_cap, watch):
-        cand, cnt, tent = candidates(
-            jnp, ov, dv, cset, tile, t_cap=t_cap
-        )
+        cand, cnt, tent = candidates(jnp, ov, dv, cset, tile, t_cap=t_cap)
         tent = jnp.concatenate(
             [tent, jnp.full((n_tiles, 1), np.float32(3.0e38), jnp.float32)], axis=1
         )
         feats = feats_of(ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tlim)
         call = _build_call(
-            c, s, tile, n_tiles, min(slots, c), precision, any_hit, interpret
+            c, s, tile, n_tiles, slots, precision, any_hit, interpret
         )
         return _sweep_rounds(
             jnp, call, cand, cnt, tent, coeff, feats,
-            seed_t.reshape(n_tiles, tile), seed_f.reshape(n_tiles, tile),
+            seed_t.reshape(n_tiles, 1, tile), seed_f.reshape(n_tiles, 1, tile),
             slots, any_hit, watch_ref=watch,
         )
 
-    zeros = jnp.zeros((total,), jnp.float32)
-    t_seed = jnp.where(alive_f, INF, _BIG_NEG)
-    f_seed = jnp.full((total,), -1, jnp.int32)
-    t_out, f_out = run_pass(
-        Vec3(ox, oy, oz), Vec3(dx, dy, dz), zeros, t_seed, f_seed,
-        any_hit=False, t_cap=None, watch=None,
-    )
-    t_flat = t_out.reshape(-1)
-    f_flat = f_out.reshape(-1)
-
-    occ_flat = None
-    if light_pos is not None:
+    def chunk_fn(args):
+        ox, oy, oz, dx, dy, dz, alive_c = args
+        zeros = jnp.zeros((chunk,), jnp.float32)
+        t_seed = jnp.where(alive_c, INF, _BIG_NEG)
+        f_seed = jnp.full((chunk,), -1, jnp.int32)
+        t_out, f_out = run_pass(
+            Vec3(ox, oy, oz), Vec3(dx, dy, dz), zeros, t_seed, f_seed,
+            any_hit=False, t_cap=None, watch=None,
+        )
+        t_flat = t_out.reshape(-1)
+        f_flat = f_out.reshape(-1)
+        if not nee:
+            return t_flat, f_flat, f_flat
         one = np.float32(1.0)
-        lpx = jax.lax.stop_gradient(jnp.asarray(light_pos.x, jnp.float32))
-        lpy = jax.lax.stop_gradient(jnp.asarray(light_pos.y, jnp.float32))
-        lpz = jax.lax.stop_gradient(jnp.asarray(light_pos.z, jnp.float32))
         # Shadow-ray derivation: the same guarded math as the fused NEE
         # kernels (pallas_intersect.py::_kernel_nee) so golden parity holds.
-        hit = (t_flat < INF) & (t_flat > 0.0) & alive_f
+        hit = (t_flat < INF) & (t_flat > 0.0) & alive_c
         ts = jnp.where(hit, t_flat, one)
         hx = ox + dx * ts
         hy = oy + dy * ts
@@ -363,7 +385,19 @@ def intersect_cull(
             Vec3(hx, hy, hz), Vec3(sx, sy, sz), t_light, occ_seed, f_seed,
             any_hit=True, t_cap=t_cap, watch=watch,
         )
-        occ_flat = occ_out.reshape(-1) > 0.0
+        return t_flat, f_flat, (occ_out.reshape(-1) > 0.0).astype(jnp.int32)
+
+    args = tuple(
+        a.reshape(n_chunks, chunk)
+        for a in (ox, oy, oz, dx, dy, dz, alive_f)
+    )
+    if n_chunks == 1:
+        outs = chunk_fn(tuple(a[0] for a in args))
+    else:
+        outs = jax.lax.map(chunk_fn, args)
+    t_flat = outs[0].reshape(-1)
+    f_flat = outs[1].reshape(-1)
+    occ_flat = (outs[2].reshape(-1) != 0) if nee else None
 
     if sort:
         t_flat, f_flat = t_flat[inv_perm], f_flat[inv_perm]
@@ -371,6 +405,6 @@ def intersect_cull(
             occ_flat = occ_flat[inv_perm]
     t_res = t_flat[:flat].reshape(shape)
     f_res = f_flat[:flat].reshape(shape)
-    if light_pos is not None:
+    if nee:
         return t_res, f_res, occ_flat[:flat].reshape(shape)
     return t_res, f_res

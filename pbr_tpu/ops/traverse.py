@@ -310,7 +310,7 @@ def _stop_grad3(xp, v: Vec3) -> Vec3:
 
 def intersect_scene(
     xp, o: Vec3, d: Vec3, scene, max_leaf: int = 2, mode: str = "auto",
-    light_pos=None,
+    light_pos=None, alive=None,
 ):
     """Nearest-hit dispatch (the analog of the reference's ACCEL_STRUCT
     kernel specialization, pathtracing.cl:217-219).
@@ -334,6 +334,10 @@ def intersect_scene(
     fused into the same device pass. Returns ``(t, face, occluded)`` where
     ``occluded`` is None when the selected mode has no fused path (the
     caller falls back to a separate shadow intersect).
+
+    ``alive``: optional per-ray liveness mask. The cull-and-sweep mode
+    uses it to close dead lanes out of the sweep (they cost nothing and
+    cannot block a tile's occlusion early-out); other modes ignore it.
     """
     o_s = _stop_grad3(xp, o)
     d_s = _stop_grad3(xp, d)
@@ -421,6 +425,29 @@ def intersect_scene(
             _, face = intersect_bvh_forest(
                 xp, o_s, d_s, scene.forest, scene.bvh,
                 max_leaf=FOREST_MAX_LEAF,
+            )
+    elif mode == "cull":
+        from pbr_tpu.ops.pallas_cull import intersect_cull
+
+        if scene.clusters is None:
+            raise ValueError(
+                "mode='cull' needs a scene with clusters; rebuild via "
+                "scene/build.py (build_scene attaches them) or "
+                "accel.clusters.build_clusters."
+            )
+        interp = False
+        if _is_jax(xp):
+            import jax
+
+            interp = jax.default_backend() != "tpu"
+        if light_pos is not None:
+            _, face, occ = intersect_cull(
+                xp, o_s, d_s, scene.clusters, light_pos=light_pos,
+                alive=alive, interpret=interp,
+            )
+        else:
+            _, face = intersect_cull(
+                xp, o_s, d_s, scene.clusters, alive=alive, interpret=interp
             )
     elif mode == "pallas_bvh_hbm":
         from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet_hbm

@@ -85,6 +85,17 @@ def build_scene(
                 v0, v1, v2, cfg, face_min=face_min, face_max=face_max
             )
         tris = permute_triangles(tris, leaf_order)
+    clusters = None
+    if tris.count > 256 and phong_tess_alpha == 0.0:
+        # Cull-and-sweep intersector tables (accel/clusters.py): cheap to
+        # build (~64 B/face) and the TPU-servable path for every scene the
+        # brute kernel shouldn't sweep whole. Triangles are already in BVH
+        # leaf order, so contiguous cluster runs are spatially compact.
+        from pbr_tpu.accel.clusters import build_clusters
+
+        # 64-face clusters: the design study (tools/study_cull.py) shows
+        # they minimize swept faces/ray at every scene size measured.
+        clusters = build_clusters(tris, size=64)
     forest = None
     if bvh is not None and phong_tess_alpha == 0.0:
         from pbr_tpu.accel.forest import build_forest
@@ -100,7 +111,8 @@ def build_scene(
     materials = obj.mtl.to_soa()
     lights = lights_to_soa(obj.lights) if obj.lights else no_lights()
     return Scene(
-        tris=tris, bvh=bvh, materials=materials, lights=lights, forest=forest
+        tris=tris, bvh=bvh, materials=materials, lights=lights, forest=forest,
+        clusters=clusters,
     )
 
 

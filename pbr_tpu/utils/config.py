@@ -81,6 +81,13 @@ class RenderSettings:
     # bounces (~8x faster compiles), 'unroll' = Python unroll (~1.8x faster
     # runtime, XLA optimizes across bounces). Numerics are identical.
     bounce_loop: str = "scan"
+    # Samples-per-pixel loop strategy (jax only): 'scan' = lax.scan over
+    # the sample index (compile time stays ~flat in ``samples`` — the
+    # reference's SAMPLES loop was likewise one device-side loop,
+    # pathtracing.cl:251), 'unroll' = Python unroll (XLA may fuse across
+    # samples; compile time scales linearly). Numerics are identical (the
+    # RNG is (pixel, sample, bounce)-keyed either way).
+    sample_loop: str = "scan"
     # Live-path compaction schedule: ((bounce, frac), ...) — at each listed
     # bounce index, gather the rows (groups of ``compact_block`` consecutive
     # lanes) that still contain live paths into a buffer of ``frac * batch``

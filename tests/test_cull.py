@@ -147,6 +147,22 @@ def test_cull_odd_batch_padding():
     _cull_vs_brute(200, 333, csize=64, tile=64, slots=8)
 
 
+def test_cull_chunked_matches_unchunked():
+    # chunk_rays below the batch size forces the lax.map chunk loop.
+    scene, cset = _scene(300, seed=6, csize=64)
+    o, d = _rays(640, seed=13)
+    jset = jax.tree_util.tree_map(jnp.asarray, cset)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    t1, f1 = intersect_cull(
+        jnp, ov, dv, jset, tile=64, slots=8, chunk_rays=128, interpret=True
+    )
+    t2, f2 = intersect_cull(
+        jnp, ov, dv, jset, tile=64, slots=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
 def test_cull_alive_mask():
     scene, cset = _scene(300, seed=2, csize=64)
     o, d = _rays(256, seed=9)

@@ -628,6 +628,81 @@ def step_forest_leaf():
             f"-> {(1<<20)/dt/1e6:.2f} M rays/s")
 
 
+def step_cull():
+    """Cull-and-sweep intersector (ops/pallas_cull.py) vs the incumbents:
+    rays/s at several scene sizes, coherent camera rays AND adversarial
+    random rays, with the tile/cluster/sort/precision knobs."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.accel.clusters import build_clusters
+    from pbr_tpu.ops.pallas_cull import intersect_cull
+    from pbr_tpu.ops.pallas_intersect import intersect_pallas
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    n_rays = 1 << 20
+
+    import os
+
+    from pbr_tpu.io.loader import load_model
+    from pbr_tpu.utils.config import RenderSettings
+
+    for tag in ("suzanne", "1082", "4000", "10000", "100000"):
+        if tag == "suzanne":
+            ref = "/root/reference/resources/models/testing/suzanne.obj"
+            if not os.path.isfile(ref):
+                continue
+            scene, _, _ = load_model(ref, RenderSettings(shadow_rays=1))
+        else:
+            scene, _ = scene_from_text(random_soup(int(tag), seed=7), use_bvh=True)
+        jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+        nf = int(jscene.tris.mtl.shape[0])
+        for ray_kind in ("coh", "rnd"):
+            if ray_kind == "coh":
+                o, d = _camera_rays(1024, eye=(0.0, 1.0, 3.0) if tag == "suzanne" else (0.0, 0.0, 3.5))
+            else:
+                o, d = _rays(n_rays, lo=-1.2, hi=1.2)
+            rows = []
+            if nf <= 10000:
+                try:
+                    dt = _time_fn(
+                        jax.jit(lambda o, d: intersect_pallas(jnp, o, d, jscene.tris)),
+                        o, d,
+                    )
+                    rows.append(("brute", dt))
+                except Exception as e:
+                    log(f"  brute failed: {type(e).__name__}: {e}")
+            for csize, tile, sort, prec in (
+                (64, 256, False, "highest"),
+                (64, 256, True, "highest"),
+                (64, 1024, True, "highest"),
+                (64, 256, False, "default"),
+                (128, 256, False, "highest"),
+            ):
+                cset = jax.tree_util.tree_map(
+                    jnp.asarray, build_clusters(scene.tris, size=csize)
+                )
+                name = f"cull s{csize} t{tile} {'sort' if sort else 'raw '} {prec[:4]}"
+                try:
+                    dt = _time_fn(
+                        jax.jit(
+                            lambda o, d, cset=cset, tile=tile, sort=sort, prec=prec: intersect_cull(
+                                jnp, o, d, cset, tile=tile, sort=sort, precision=prec
+                            )
+                        ),
+                        o, d,
+                    )
+                    rows.append((name, dt))
+                except Exception as e:
+                    log(f"  {name} failed: {type(e).__name__}: {e}")
+            for name, dt in rows:
+                log(
+                    f"cull {tag:7s} ({nf:6d} tris) {ray_kind} {name:26s} "
+                    f"{dt * 1e3:9.2f} ms  {n_rays / dt / 1e6:8.1f} M rays/s"
+                )
+
+
 STEPS = {
     "probe": step_probe,
     "forest_tiny": step_forest_tiny,
@@ -636,6 +711,7 @@ STEPS = {
     "forest_leaf": step_forest_leaf,
     "pallas_bvh": step_pallas_bvh,
     "crossover": step_crossover,
+    "cull": step_cull,
     "coherent": step_coherent,
     "sweeplin": step_sweeplin,
     "soup100k": step_soup100k,
