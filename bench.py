@@ -379,28 +379,65 @@ def run_scaling(args) -> None:
     )
     rays = int(res.n_path_rays) + int(res.n_shadow_rays)
 
+    def cpu_busy():
+        # Host CPU busy fraction from /proc/stat (user+nice+sys vs total).
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts[:8]]
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return busy, sum(vals)
+
     iters = max(2, args.iters)
     table = {}
     for n_dp in (1, 2, 4, 8):
         mesh = make_mesh(n_dp=n_dp, n_sp=1)
         c, _ = sharded_render(mesh, jscene, jcam, settings, 1)  # compile
         np.asarray(c.x)
+        b0, t0c = cpu_busy()
         t0 = time.time()
         for i in range(iters):
             c, _ = sharded_render(mesh, jscene, jcam, settings, i + 2)
         np.asarray(c.x)
         dt = (time.time() - t0) / iters
+        b1, t1c = cpu_busy()
+        util = (b1 - b0) / max(1, t1c - t0c)
         table[n_dp] = dt
         # Virtual devices share the host's cores: total work is constant,
         # so the observable is the choreography OVERHEAD factor T1/TN
         # (1.0 = sharding adds nothing; on N real chips per-chip work is
-        # 1/N, making T1/TN the expected parallel efficiency).
+        # 1/N, making T1/TN the expected parallel efficiency). Host CPU
+        # utilization attributes the gap: if dp=1 already saturates the
+        # cores, a T1/TN < 1 is executor oversubscription (contention),
+        # not sharding choreography.
         eff = table[1] / dt
         print(
             f"[scaling] dp={n_dp}: {dt * 1e3:8.1f} ms/frame  "
-            f"{rays / dt / 1e6:7.2f} M rays/s  overhead-eff {eff:.2f}",
+            f"{rays / dt / 1e6:7.2f} M rays/s  overhead-eff {eff:.2f}  "
+            f"host-cpu {util:5.1%}",
             file=sys.stderr,
         )
+
+    # Per-shard isolation control: ONE dp=8-sized shard (1/8 of the rows)
+    # rendered alone on a 1-device mesh — the contention-free per-shard
+    # time. 8 x this, overlapped perfectly, would be the ideal T8; the
+    # measured T8 above exceeding it quantifies executor contention +
+    # choreography, and the dp=8 host-cpu row says which.
+    shard_h = size // 8
+    solo_set = settings.replace(height=shard_h)
+    mesh1 = make_mesh(n_dp=1, n_sp=1)
+    c, _ = sharded_render(mesh1, jscene, jcam, solo_set, 1)
+    np.asarray(c.x)
+    t0 = time.time()
+    for i in range(iters):
+        c, _ = sharded_render(mesh1, jscene, jcam, solo_set, i + 2)
+    np.asarray(c.x)
+    dt_solo = (time.time() - t0) / iters
+    print(
+        f"[scaling] solo 1/8 shard ({size}x{shard_h}): {dt_solo * 1e3:8.1f} "
+        f"ms/frame -> ideal-overlap T8 {dt_solo * 1e3:8.1f} ms vs measured "
+        f"{table[8] * 1e3:8.1f} ms (x{table[8] / dt_solo:.2f})",
+        file=sys.stderr,
+    )
 
     eff8 = table[1] / table[8]
     print(

@@ -138,9 +138,22 @@ def _kernel(S, L, precision, any_hit,
             done_s[0] = (jnp.max(t_new) <= tent_ref[t, l + 1]).astype(jnp.int32)
 
 
+def _vma_of(x):
+    """Varying-axes metadata of ``x`` (inside shard_map), as a hashable
+    tuple — pallas_call out_shapes must declare it explicitly."""
+    try:
+        import jax
+
+        v = jax.typeof(x).vma
+        return tuple(sorted(v)) if v else ()
+    except Exception:
+        return ()
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
-                precision: str, any_hit: bool, interpret: bool = False):
+                precision: str, any_hit: bool, interpret: bool = False,
+                vma: tuple = ()):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -164,12 +177,13 @@ def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
         ),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
+    kw = {"vma": frozenset(vma)} if vma else {}
     return pl.pallas_call(
         functools.partial(_kernel, s, slots, _precision(precision), any_hit),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32, **kw),
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32, **kw),
         ),
         interpret=interpret,
     )
@@ -336,7 +350,8 @@ def intersect_cull(
         )
         feats = feats_of(ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tlim)
         call = _build_call(
-            c, s, tile, n_tiles, slots, precision, any_hit, interpret
+            c, s, tile, n_tiles, slots, precision, any_hit, interpret,
+            vma=_vma_of(ov.x),
         )
         return _sweep_rounds(
             jnp, call, cand, cnt, tent, coeff, feats,

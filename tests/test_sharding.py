@@ -144,3 +144,52 @@ def test_sgd_step_reduces_loss():
         mesh, scene1, camst, settings, target, frame_seed=1, lr=0.0
     )
     assert float(loss1) < float(loss0)
+
+
+def test_cull_intersector_composes_with_shard_map():
+    """The cull-and-sweep Pallas path (interpret mode on this CPU mesh)
+    must run inside shard_map with the ClusterSet replicated and the ray
+    batch dp-sharded, and agree with the unsharded call."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from pbr_tpu.accel.clusters import build_clusters
+    from pbr_tpu.ops.pallas_cull import intersect_cull
+    from pbr_tpu.ops.vec import Vec3
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    scene, _ = scene_from_text(random_soup(300, seed=8), use_bvh=True)
+    cset = jax.tree_util.tree_map(
+        jnp.asarray, build_clusters(scene.tris, size=64)
+    )
+    rs = np.random.RandomState(2)
+    n = 512
+    o = rs.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    mesh = make_mesh(n_dp=8, n_sp=1)
+    # check_vma=False: interpret-mode pallas evaluates index_maps as jax
+    # primitives, where the dp-varying prefetched candidate ids index the
+    # unvarying coefficient table — a vma-propagation case jax's checker
+    # cannot express yet (the compiled TPU path carries the out_shape vma
+    # that ops/pallas_cull.py forwards).
+    f = jax.shard_map(
+        lambda cs, ox, oy, oz, dx, dy, dz: intersect_cull(
+            jnp, Vec3(ox, oy, oz), Vec3(dx, dy, dz), cs,
+            tile=64, slots=8, interpret=True,
+        )[1],
+        mesh=mesh,
+        in_specs=(P(),) + (P("dp"),) * 6,
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    f_sharded = f(cset, ov.x, ov.y, ov.z, dv.x, dv.y, dv.z)
+    _, f_plain = intersect_cull(
+        jnp, ov, dv, cset, tile=64, slots=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(f_sharded), np.asarray(f_plain))
