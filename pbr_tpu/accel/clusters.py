@@ -54,6 +54,17 @@ R_D = 3  # rows 3-5: ray direction
 R_C = 6  # rows 6-8: o x d (Pluecker moment)
 R_ONE = 9  # row 9: constant 1
 R_TLIM = 10  # row 10: shadow-ray t_limit (any-hit variant only)
+# Coefficient-block row 11, lanes 0-5: the cluster's own AABB
+# [min.xyz, max.xyz] — the sweep kernel's per-step box gate reads it as
+# static-lane scalars. Ray-feature row 11 is zero, so the extra data
+# cannot perturb the matmul.
+R_BB = 11
+
+# Fine clusters per supercluster. The cull stage enumerates and orders
+# only SUPERclusters ((T, C/SUPER) work — the (T, C) argsort was measured
+# to dominate the whole intersect at 100k faces); fine candidates expand
+# arithmetically and the kernel box-gates each fine cluster itself.
+SUPER = 16
 
 
 def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
@@ -70,6 +81,10 @@ def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
     e2 = tris.e2.stack(np).astype(np.float32)
     nf = v0.shape[0]
     c = max(1, (nf + size - 1) // size)
+    # Pad the cluster count to a SUPER multiple so superclusters tile it
+    # exactly; padding clusters are all-zero (det = 0) with inverted AABBs
+    # (the kernel's box gate rejects them).
+    c = -(-c // SUPER) * SUPER
     pad = c * size - nf
     if pad:
         z = np.zeros((pad, 3), dtype=np.float32)
@@ -96,20 +111,29 @@ def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
         put(3, R_C + ax, -e1p[:, ax])  # vnum = -c.e1 - d.q
         put(3, R_D + ax, -q[:, ax])
     put(1, R_ONE, km)
-    # Padding faces: zero m -> det = 0, but km of a zero face is also 0, so
-    # guard tnum's constant term to keep t = NaN (never valid) explicit.
-    if pad:
-        coeffs[-1, R_ONE, size + (size - pad) : 2 * size] = 0.0
+    # Padding faces need no special guard: their m and km are both zero, so
+    # det = 0 and t = 0 * inf = NaN — never valid.
 
     # Cluster AABBs over member-face vertices; padded faces are excluded by
     # construction (v0 = 0 rows would otherwise drag AABBs to the origin).
+    # Padding clusters keep inverted boxes (min=+inf > max=-inf): the cull
+    # stage and the kernel's box gate both reject them explicitly.
     verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (nf, 3, 3)
     bb_min = np.full((c, 3), np.inf, dtype=np.float32)
     bb_max = np.full((c, 3), -np.inf, dtype=np.float32)
     for i in range(c):
         lo, hi = i * size, min((i + 1) * size, nf)
-        bb_min[i] = verts[lo:hi].min(axis=(0, 1))
-        bb_max[i] = verts[lo:hi].max(axis=(0, 1))
+        if hi > lo:
+            bb_min[i] = verts[lo:hi].min(axis=(0, 1))
+            bb_max[i] = verts[lo:hi].max(axis=(0, 1))
+    # Kernel-readable AABB: coefficient row R_BB, lanes 0-5.
+    coeffs[:, R_BB, 0:3] = bb_min
+    coeffs[:, R_BB, 3:6] = bb_max
+
+    # Supercluster AABBs (the cull stage's test/order targets).
+    c2 = c // SUPER
+    s_min = bb_min.reshape(c2, SUPER, 3).min(axis=1)
+    s_max = bb_max.reshape(c2, SUPER, 3).max(axis=1)
 
     scene_min = verts.min(axis=(0, 1)).astype(np.float32)
     scene_max = verts.max(axis=(0, 1)).astype(np.float32)
@@ -119,4 +143,6 @@ def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
         coeffs=coeffs,
         scene_min=Vec3(*(scene_min[i] for i in range(3))),
         scene_max=Vec3(*(scene_max[i] for i in range(3))),
+        sup_min=Vec3(*(s_min[:, i].copy() for i in range(3))),
+        sup_max=Vec3(*(s_max[:, i].copy() for i in range(3))),
     )

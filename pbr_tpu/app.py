@@ -323,6 +323,9 @@ def cmd_view(args) -> None:
         exposure=args.exposure,
         term_cols=size.columns,
         term_rows=size.lines,
+        # Interactive surface: first frame on the cheap draft step while
+        # the production program compiles in the background (viewer.py).
+        draft_startup=True,
     )
     viewer.run(
         max_frames=args.frames,

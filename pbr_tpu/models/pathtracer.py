@@ -154,6 +154,21 @@ class PathTracer:
             self.max_leaf,
         )
 
+    def warmup(self, cam: CameraState) -> None:
+        """Compile the frame step without executing it (AOT lower+compile).
+
+        With the persistent XLA cache enabled (utils/cache.py) the
+        compiled program lands on disk, so the next ``render`` — even
+        from a different thread or process — resolves it in seconds.
+        The viewer's draft-then-refine startup compiles the production
+        step here, in a background thread, while draft frames display.
+        """
+        jcam = self._jax.tree_util.tree_map(self._jnp.asarray, cam)
+        self._step.lower(
+            self.scene, jcam, self.settings, self.state, self.pixel_ids,
+            self._jnp.uint32(0), self.max_leaf,
+        ).compile()
+
     @property
     def sample_count(self) -> int:
         return int(self.state.sample_count)

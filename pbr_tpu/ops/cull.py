@@ -141,24 +141,36 @@ def frustum_hits(
 
 
 def candidates(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
-    """Per-tile candidate cluster lists.
+    """Per-tile candidate cluster lists (supercluster-ordered).
 
     ``o``/``d``: flat (N,) SORTED ray components, N a multiple of ``tile``.
+    The frustum test and near-to-far argsort run at SUPERcluster
+    granularity — (T, C/SUPER) work; a full (T, C) argsort was the
+    measured cost center of the whole intersect at 100k faces — and the
+    fine candidate list expands arithmetically: each hit supercluster
+    contributes its SUPER consecutive fine clusters in ascending id order.
+    The sweep kernel box-gates each fine cluster itself (the AABB rides in
+    the coefficient block), so the only cost of the coarser enumeration is
+    slot/DMA budget, not compute.
+
     Returns ``(cand, counts, tent)``:
 
-    - ``cand`` (T, C) int32 — each tile's hit clusters ordered near-to-far
-      by conservative entry distance (the order that makes the sweep's
-      occlusion early-out effective; cross-cluster determinism comes from
-      the sweep's exact global-face-id tie-breaking, not processing
-      order), padding slots repeating the last valid entry (repeats make
-      the sweep pipeline's block fetches dedupe);
+    - ``cand`` (T, C) int32 — fine cluster ids, supercluster-near-to-far
+      (determinism comes from the sweep's exact global-face-id
+      tie-breaking, not processing order), padding slots repeating the
+      last valid entry;
     - ``counts`` (T,) int32 — valid entries per tile (0 = tile hits
       nothing);
-    - ``tent`` (T, C) f32 — each slot's conservative entry lower bound
-      (+BIG on padding slots): the sweep stops a tile once every ray's
-      best hit is closer than the next slot's ``tent``.
+    - ``tent`` (T, C) f32 — each slot's conservative entry lower bound,
+      inherited from its supercluster (a child box is inside its super
+      box, so the bound stays sound; +BIG on padding slots): the sweep
+      stops a tile once every ray's best hit is closer than the next
+      slot's ``tent``.
     """
-    c = cset.bb_min.x.shape[0]
+    from pbr_tpu.accel.clusters import SUPER
+
+    c2 = cset.sup_min.x.shape[0]
+    c = c2 * SUPER
     ox = _tile_minmax(xp, o.x, tile)
     oy = _tile_minmax(xp, o.y, tile)
     oz = _tile_minmax(xp, o.z, tile)
@@ -168,18 +180,23 @@ def candidates(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
     o_lo, o_hi = Vec3(ox[0], oy[0], oz[0]), Vec3(ox[1], oy[1], oz[1])
     d_lo, d_hi = Vec3(dx[0], dy[0], dz[0]), Vec3(dx[1], dy[1], dz[1])
     hit, t_entry = frustum_hits(
-        xp, o_lo, o_hi, d_lo, d_hi, cset.bb_min, cset.bb_max, t_cap
+        xp, o_lo, o_hi, d_lo, d_hi, cset.sup_min, cset.sup_max, t_cap
     )
-    counts = xp.sum(hit.astype(xp.int32), axis=1)
+    counts2 = xp.sum(hit.astype(xp.int32), axis=1)
     # Near-to-far enumeration; argsort is stable, so ties keep ascending id.
     key = xp.where(hit, t_entry, _BIG)
     order = xp.argsort(key, axis=1).astype(xp.int32)
-    # Repeat the last valid entry into the padding slots (count=0 tiles
-    # repeat cluster order[0]; the sweep skips them via counts anyway).
-    j = xp.arange(c, dtype=xp.int32)[None, :]
-    take = xp.minimum(j, xp.maximum(counts[:, None] - 1, 0))
-    cand = xp.take_along_axis(order, take, axis=1)
-    tent = xp.where(
-        j < counts[:, None], xp.take_along_axis(t_entry, cand, axis=1), _BIG
+    j2 = xp.arange(c2, dtype=xp.int32)[None, :]
+    take = xp.minimum(j2, xp.maximum(counts2[:, None] - 1, 0))
+    sup = xp.take_along_axis(order, take, axis=1)  # (T, C2)
+    tent2 = xp.where(
+        j2 < counts2[:, None], xp.take_along_axis(t_entry, sup, axis=1), _BIG
     )
+    # Arithmetic fine expansion: super s -> fine [s*SUPER, (s+1)*SUPER).
+    fine_off = xp.arange(SUPER, dtype=xp.int32)[None, None, :]
+    cand = (sup[:, :, None] * np.int32(SUPER) + fine_off).reshape(-1, c)
+    tent = xp.broadcast_to(tent2[:, :, None], tent2.shape + (SUPER,)).reshape(
+        -1, c
+    )
+    counts = counts2 * np.int32(SUPER)
     return cand, counts, tent

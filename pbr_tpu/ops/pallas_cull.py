@@ -86,11 +86,42 @@ def _kernel(S, L, precision, any_hit,
 
     exec_ = (l < cnt_ref[t]) & (done_s[0] == 0)
 
-    @pl.when(exec_)
+    # Per-step box gate: the candidate list is supercluster-granular
+    # (ops/cull.py), so test THIS fine cluster's AABB (packed in
+    # coefficient row R_BB by accel/clusters.py) against the tile's rays
+    # and running state — cheap (1, tile) vector work that skips the
+    # matmul for the ~3/4 of expanded children the tile's frustum misses.
+    coeff0 = coeff_ref[0]  # (K_ROWS, 4S)
+    rays0 = rays_ref[0]  # (K_ROWS, tile)
+    blx, bly, blz = coeff0[11, 0], coeff0[11, 1], coeff0[11, 2]
+    bhx, bhy, bhz = coeff0[11, 3], coeff0[11, 4], coeff0[11, 5]
+    nonempty = blx <= bhx  # inverted AABB = padding cluster
+    t_near = jnp.full((1, rays0.shape[1]), np.float32(-3.0e38))
+    t_far = jnp.full((1, rays0.shape[1]), np.float32(3.0e38))
+    for ax, (lo_s, hi_s) in enumerate(((blx, bhx), (bly, bhy), (blz, bhz))):
+        oo = rays0[ax : ax + 1, :]
+        dd = rays0[3 + ax : 4 + ax, :]
+        inv_d = 1.0 / dd
+        a = (lo_s - oo) * inv_d
+        b = (hi_s - oo) * inv_d
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        lo = jnp.where(lo == lo, lo, np.float32(-3.0e38))
+        hi = jnp.where(hi == hi, hi, np.float32(3.0e38))
+        t_near = jnp.maximum(t_near, lo)
+        t_far = jnp.minimum(t_far, hi)
+    box = (t_near <= t_far) & (t_far > np.float32(EPSILON5))
+    if any_hit:
+        box = box & (t_ref[0] == 0.0) & (t_near < rays0[10:11, :])
+    else:
+        box = box & (t_near < t_ref[0])
+    run = exec_ & nonempty & jnp.any(box)
+
+    @pl.when(run)
     def _():
         cid = cand_ref[t, l]
-        coeff = coeff_ref[0]  # (K_ROWS, 4S)
-        rays = rays_ref[0]  # (K_ROWS, tile)
+        coeff = coeff0
+        rays = rays0
         out = jax.lax.dot_general(
             coeff, rays, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -252,13 +283,13 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
 # Rays per lax.map chunk: bounds the scalar-prefetch tables (cand/tent,
 # SMEM-resident — v5e has ~1 MB of SMEM) and the (T, C) cull-stage arrays.
 # 131072 rays at tile=256 is T=512 tiles: 512 x (slots+slots+2) x 4 B of
-# prefetch data per call, ~400 KB at the default 96 slots.
+# prefetch data per call, ~530 KB at the default 128 slots.
 CULL_CHUNK_RAYS = 131072
 
 
 def intersect_cull(
     xp, o, d, cset, light_pos=None, alive=None, tile: int = 256,
-    slots: int = 96, precision: str = "highest", sort: bool = False,
+    slots: int = 128, precision: str = "highest", sort: bool = False,
     chunk_rays: int = CULL_CHUNK_RAYS, interpret: bool = False,
 ):
     """Nearest-hit over a ClusterSet via cull-and-sweep (jax + TPU only).

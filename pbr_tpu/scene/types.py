@@ -176,13 +176,16 @@ class BVHForest(NamedTuple):
 class ClusterSet(NamedTuple):
     """Face clusters for the cull-and-sweep intersector (accel/clusters.py).
 
-    - ``bb_min``/``bb_max``: (C,) cluster AABBs (the cull stage's test
-      targets);
+    - ``bb_min``/``bb_max``: (C,) fine cluster AABBs (also packed into the
+      coefficient blocks for the kernel's per-step box gate);
     - ``coeffs``: (C, K_ROWS, 4*size) f32 per-cluster Möller-Trumbore
       coefficient blocks in the hoisted linear form, streamed from HBM by
       the sweep kernel's pipeline (layout contract in accel/clusters.py);
     - ``scene_min``/``scene_max``: scalar Vec3 scene bounds (Morton keys
-      for the coherence sort, independent of any BVH).
+      for the coherence sort, independent of any BVH);
+    - ``sup_min``/``sup_max``: (C/SUPER,) supercluster AABBs — the cull
+      stage tests and near-to-far-orders only these (the full (T, C)
+      argsort was the measured cost center at 100k faces).
     """
 
     bb_min: Vec3
@@ -190,6 +193,8 @@ class ClusterSet(NamedTuple):
     coeffs: object  # (C, K_ROWS, 4*size) f32
     scene_min: Vec3
     scene_max: Vec3
+    sup_min: Vec3
+    sup_max: Vec3
 
     @property
     def count(self) -> int:

@@ -131,13 +131,38 @@ class Viewer:
         term_cols: int = 80,
         term_rows: int = 24,
         out=None,
+        draft_startup: bool = False,
     ):
         from pbr_tpu.models.pathtracer import PathTracer
 
-        self.tracer = PathTracer(scene, settings, max_leaf=max_leaf)
+        # Draft-then-refine startup (first-frame latency, docs/PERF.md):
+        # the full unrolled-production step costs tens of seconds to
+        # compile cold, which is hostile to an interactive viewer. Start
+        # on a cheap DRAFT step (scan-mode bounce loop, shallow depth —
+        # compiles in a few seconds), kick the production compile off in a
+        # background thread (AOT lower+compile; the persistent XLA cache
+        # makes it a disk hit on later runs), and swap + restart the
+        # progressive accumulation when it lands. ``draft_startup=False``
+        # compiles the production step up front (tests, batch use).
+        self._full_scene = scene
+        self._full_settings = settings
+        self._full_max_leaf = max_leaf
+        self._pending = None
+        draft = settings.replace(
+            max_depth=min(settings.max_depth, 2),
+            max_added_depth=0,
+            bounce_loop="scan",
+            compact_schedule=(),
+        )
+        use_draft = draft_startup and draft != settings
+        self.tracer = PathTracer(
+            scene, draft if use_draft else settings, max_leaf=max_leaf
+        )
         self._resets = 0  # progressive restarts (observable for tests);
         # set before Camera() — its reset() fires on_update immediately.
         self.camera = Camera(cam_cfg, on_update=self._on_camera_update)
+        if use_draft:
+            self._start_refine()  # needs the camera for the AOT warmup
         self._resets = 0
         self.settings = settings
         self.exposure = exposure
@@ -237,8 +262,42 @@ class Viewer:
         self.focus = t if np.isfinite(t) and t > 0 else -1.0
         self._on_camera_update()
 
+    # ---- draft-then-refine ----------------------------------------------
+    def _start_refine(self) -> None:
+        import threading
+
+        from pbr_tpu.models.pathtracer import PathTracer
+
+        full = PathTracer(
+            self._full_scene, self._full_settings, max_leaf=self._full_max_leaf
+        )
+        box = {}
+
+        def compile_full():
+            try:
+                full.warmup(self.camera.state(focus=-1.0))
+                box["tracer"] = full
+            except Exception as e:  # pragma: no cover - compile failures
+                box["error"] = e
+
+        th = threading.Thread(target=compile_full, daemon=True)
+        self._pending = (th, box)
+        th.start()
+
+    def _maybe_swap_refined(self) -> None:
+        if self._pending is None:
+            return
+        th, box = self._pending
+        if th.is_alive():
+            return
+        self._pending = None
+        if "tracer" in box:
+            self.tracer = box["tracer"]
+            self.tracer.reset_sample_count()
+
     # ---- frame loop ------------------------------------------------------
     def render_one(self) -> None:
+        self._maybe_swap_refined()
         self.tracer.render(self.camera.state(focus=self.focus), frame_seed=self.frame)
         self.frame += 1
 

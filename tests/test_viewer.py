@@ -147,3 +147,24 @@ def test_cli_eye_center_flags(tmp_path):
         "--out", out, "--eye", "0.5,1.2,2.5", "--center", "0,0,1",
     ])
     assert os.path.exists(out)
+
+
+def test_draft_then_refine_swaps_tracer():
+    """Draft startup renders immediately on the cheap step and swaps to the
+    production tracer once its background compile lands (viewer.py)."""
+    obj, mtl, li = cornell_box()
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=False)
+    settings = RenderSettings(
+        width=16, height=16, samples=1, max_depth=4, max_added_depth=2,
+        shadow_rays=1, bounce_loop="unroll",
+    )
+    v = Viewer(
+        scene, settings, CameraConfig(), term_cols=16, term_rows=8,
+        out=io.StringIO(), draft_startup=True,
+    )
+    assert v.tracer.settings.max_depth == 2  # draft step active
+    assert v._pending is not None
+    v._pending[0].join(timeout=300)
+    v.run(max_frames=2, draw=False)
+    assert v.tracer.settings == settings  # production step swapped in
+    assert v.tracer.sample_count >= 1
