@@ -209,3 +209,46 @@ def test_cull_nee_occlusion_matches_separate():
     t_s, _ = intersect_brute(jnp, ovs, dvs, jtris)
     occ_ref = np.asarray(t_s) < t_light.astype(np.float32)
     np.testing.assert_array_equal(np.asarray(occ)[hit], occ_ref[hit])
+
+
+def test_cull_integrator_end_to_end_matches_bvh():
+    """Full integrator frame with intersector='cull' (fused NEE occlusion,
+    alive masking, dead-lane handling across bounces) vs the XLA walk."""
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.scene.build import bvh_max_leaf
+    from pbr_tpu.scene.camera import make_camera_state
+    from pbr_tpu.utils.config import RenderSettings
+
+    mtl = (
+        "newmtl grey\nKd 0.62 0.62 0.62\nKs 1.0 1.0 1.0\nrough 1.0\np 1.0\n"
+        "nu 0\nnv 0\nRs 0.05\nRd 0.95\n"
+    )
+    li = "newlight orb\ntype 2\nrgb 1.6 1.5 1.4\npos 0.0 2.4 0.0\nradius 0.09\n"
+    obj = random_soup(400, seed=11).replace("o soup\n", "o soup\nusemtl grey\n", 1)
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=True)
+    assert scene.clusters is not None
+    cam = make_camera_state(eye=(0.0, 0.0, 3.5), center_dir=(0.0, 0.0, 1.0))
+    base = dict(
+        width=32, height=32, samples=1, max_depth=3, max_added_depth=2,
+        shadow_rays=1, anti_aliasing=0.7, sky_light=(0.85, 0.9, 1.0),
+        bounce_loop="scan",
+    )
+    js = jax.tree_util.tree_map(jnp.asarray, scene)
+    jc = jax.tree_util.tree_map(jnp.asarray, cam)
+    ids = jnp.arange(32 * 32, dtype=jnp.int32)
+    ml = bvh_max_leaf(scene)
+    r_cull = jax.jit(
+        lambda: trace_rays(
+            jnp, js, jc, RenderSettings(**base, intersector="cull"), ids,
+            jnp.uint32(4), max_leaf=ml,
+        )
+    )()
+    r_bvh = jax.jit(
+        lambda: trace_rays(
+            jnp, js, jc, RenderSettings(**base, intersector="bvh"), ids,
+            jnp.uint32(4), max_leaf=ml,
+        )
+    )()
+    d = np.abs(np.asarray(r_cull.color.x) - np.asarray(r_bvh.color.x))
+    assert (d > 1e-4).mean() < 0.01  # ULP-flip budget (chaotic decisions)
+    assert np.median(d) == 0.0
