@@ -25,6 +25,12 @@ from pbr_tpu.utils.config import EPSILON5
 F32 = np.float32
 _BIG = F32(3.0e38)  # finite stand-in for +/-inf (keeps 0*inf NaNs out)
 
+# Candidate entries are fine-cluster ids with this bit set when the tile's
+# frustum misses that fine cluster: the sweep kernel skips the slot with
+# two scalar reads (no per-step vector work), and its index_map masks the
+# bit off for the (harmless) block prefetch.
+CAND_MISS = np.int32(1 << 20)
+
 
 def coherence_keys(xp, o: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
     """Octant+Morton sort keys against explicit scene bounds (the BVH-free
@@ -199,4 +205,12 @@ def candidates(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
         -1, c
     )
     counts = counts2 * np.int32(SUPER)
+    # Fine-granularity verdict per slot (the same dense frustum test at
+    # fine-cluster resolution — cheap; only SORTING at fine granularity
+    # was expensive), packed into the entry as a miss bit.
+    hit_f, _ = frustum_hits(
+        xp, o_lo, o_hi, d_lo, d_hi, cset.bb_min, cset.bb_max, t_cap
+    )
+    ok = xp.take_along_axis(hit_f, cand, axis=1)
+    cand = xp.where(ok, cand, cand + CAND_MISS)
     return cand, counts, tent

@@ -57,7 +57,7 @@ def _precision(name: str):
 
 
 def _kernel(S, L, precision, any_hit,
-            cand_ref, cnt_ref, tent_ref, bb_ref,
+            cand_ref, cnt_ref, tent_ref,
             coeff_ref, rays_ref, tin_ref, fin_ref,
             t_ref, f_ref, done_s):
     """One (tile-)step: sweep candidate cluster ``cand[t, l]``.
@@ -84,45 +84,17 @@ def _kernel(S, L, precision, any_hit,
     # the HBM block spec legal (block trailing dims == array trailing
     # dims); drop it for the in-step math.
 
-    exec_ = (l < cnt_ref[t]) & (done_s[0] == 0)
-
-    # Per-step box gate: the candidate list is supercluster-granular
-    # (ops/cull.py), so test THIS fine cluster's AABB (from the
-    # SMEM-prefetched (C, 8) table — scalar reads belong in SMEM) against
-    # the tile's rays and running state — cheap (1, tile) vector work that
-    # skips the matmul for the expanded children the tile's frustum misses.
-    coeff0 = coeff_ref[0]  # (K_ROWS, 4S)
-    rays0 = rays_ref[0]  # (K_ROWS, tile)
+    # Slot verdict: the cull stage already frustum-tested this FINE
+    # cluster (its miss bit rides in the candidate entry — ops/cull.py),
+    # so a skipped slot costs two scalar SMEM reads and nothing else.
     cid0 = cand_ref[t, l]
-    blx, bly, blz = bb_ref[cid0, 0], bb_ref[cid0, 1], bb_ref[cid0, 2]
-    bhx, bhy, bhz = bb_ref[cid0, 3], bb_ref[cid0, 4], bb_ref[cid0, 5]
-    nonempty = blx <= bhx  # inverted AABB = padding cluster
-    t_near = jnp.full((1, rays0.shape[1]), np.float32(-3.0e38))
-    t_far = jnp.full((1, rays0.shape[1]), np.float32(3.0e38))
-    for ax, (lo_s, hi_s) in enumerate(((blx, bhx), (bly, bhy), (blz, bhz))):
-        oo = rays0[ax : ax + 1, :]
-        dd = rays0[3 + ax : 4 + ax, :]
-        inv_d = 1.0 / dd
-        a = (lo_s - oo) * inv_d
-        b = (hi_s - oo) * inv_d
-        lo = jnp.minimum(a, b)
-        hi = jnp.maximum(a, b)
-        lo = jnp.where(lo == lo, lo, np.float32(-3.0e38))
-        hi = jnp.where(hi == hi, hi, np.float32(3.0e38))
-        t_near = jnp.maximum(t_near, lo)
-        t_far = jnp.minimum(t_far, hi)
-    box = (t_near <= t_far) & (t_far > np.float32(EPSILON5))
-    if any_hit:
-        box = box & (t_ref[0] == 0.0) & (t_near < rays0[10:11, :])
-    else:
-        box = box & (t_near < t_ref[0])
-    run = exec_ & nonempty & jnp.any(box)
+    run = (l < cnt_ref[t]) & (done_s[0] == 0) & (cid0 < np.int32(1 << 20))
 
     @pl.when(run)
     def _():
         cid = cid0
-        coeff = coeff0
-        rays = rays0
+        coeff = coeff_ref[0]  # (K_ROWS, 4S)
+        rays = rays_ref[0]  # (K_ROWS, tile)
         out = jax.lax.dot_general(
             coeff, rays, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -192,12 +164,12 @@ def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
     from jax.experimental.pallas import tpu as pltpu
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # cand, cnt, tent, cluster AABBs
+        num_scalar_prefetch=3,  # cand, cnt, tent
         grid=(n_tiles, slots),
         in_specs=[
             pl.BlockSpec(  # coefficient block of the step's candidate
                 (1, K_ROWS, 4 * s),
-                lambda t, l, cand, cnt, tent, bb: (cand[t, l], 0, 0),
+                lambda t, l, cand, cnt, tent: (cand[t, l] & 0xFFFFF, 0, 0),
             ),
             pl.BlockSpec((1, K_ROWS, tile), lambda t, l, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, tile), lambda t, l, *_: (t, 0, 0)),  # t seed
@@ -224,7 +196,7 @@ def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
 _BIG_NEG = np.float32(-3.0e38)
 
 
-def _sweep_rounds(jnp, call_fn, cand, cnt, tent, bb, coeff, feats,
+def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
                   t0, f0, slots: int, any_hit: bool, watch_ref=None):
     """Run the sweep in rounds of ``slots`` candidate slots, skipping whole
     rounds (lax.cond — compiled both ways, executed only when needed) once
@@ -250,7 +222,7 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, bb, coeff, feats,
         tent_r = jax.lax.dynamic_slice_in_dim(tent, lo, l + 1, 1)
         cnt_r = jnp.clip(cnt - np.int32(lo), 0, l)
         if r == 0:
-            t_cur, f_cur = call_fn(cand_r, cnt_r, tent_r, bb, coeff, feats, t_cur, f_cur)
+            t_cur, f_cur = call_fn(cand_r, cnt_r, tent_r, coeff, feats, t_cur, f_cur)
             continue
         # Tile-done criterion at the round boundary — exactly the kernel's
         # in-step early-out, evaluated in XLA.
@@ -270,7 +242,7 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, bb, coeff, feats,
 
         def run(args):
             cand_r, cnt_r, tent_r, t_cur, f_cur = args
-            return call_fn(cand_r, cnt_r, tent_r, bb, coeff, feats, t_cur, f_cur)
+            return call_fn(cand_r, cnt_r, tent_r, coeff, feats, t_cur, f_cur)
 
         def skip(args):
             return args[3], args[4]
@@ -357,14 +329,6 @@ def intersect_cull(
         )
 
     coeff = cset.coeffs
-    bb_tab = jnp.stack(
-        [
-            cset.bb_min.x, cset.bb_min.y, cset.bb_min.z,
-            cset.bb_max.x, cset.bb_max.y, cset.bb_max.z,
-            jnp.zeros_like(cset.bb_min.x), jnp.zeros_like(cset.bb_min.x),
-        ],
-        axis=1,
-    )  # (C, 8) f32 — SMEM-prefetched per-cluster AABBs for the box gate
     nee = light_pos is not None
     if nee:
         lpx = jax.lax.stop_gradient(jnp.asarray(light_pos.x, jnp.float32))
@@ -394,7 +358,7 @@ def intersect_cull(
             vma=_vma_of(ov.x),
         )
         return _sweep_rounds(
-            jnp, call, cand, cnt, tent, bb_tab, coeff, feats,
+            jnp, call, cand, cnt, tent, coeff, feats,
             seed_t.reshape(n_tiles, 1, tile), seed_f.reshape(n_tiles, 1, tile),
             slots, any_hit, watch_ref=watch,
         )

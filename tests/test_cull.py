@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from pbr_tpu.accel.clusters import build_clusters
-from pbr_tpu.ops.cull import candidates, coherence_keys
+from pbr_tpu.ops.cull import CAND_MISS, candidates, coherence_keys
 from pbr_tpu.ops.pallas_cull import intersect_cull
 from pbr_tpu.ops.traverse import intersect_brute
 from pbr_tpu.ops.vec import Vec3
@@ -81,10 +81,14 @@ def test_candidates_conservative_and_entry_sound():
         tt = t_all[rows]  # (tile, F)
         hit_faces = np.where(np.isfinite(tt).any(axis=0))[0]
         hit_clusters = np.unique(hit_faces // size)
-        listed = set(cand[t, : counts[t]].tolist())
+        # Entries carry a miss bit for fine clusters the tile's frustum
+        # rejects (ops/cull.py CAND_MISS); truly-hit clusters must be
+        # listed UNMASKED.
+        entries = cand[t, : counts[t]].tolist()
+        listed = {e for e in entries if e < int(CAND_MISS)}
         for cl in hit_clusters:
             assert cl in listed, f"tile {t}: cluster {cl} missed by cull"
-            slot = cand[t, : counts[t]].tolist().index(cl)
+            slot = entries.index(cl)
             t_min_cl = tt[:, cl * size : (cl + 1) * size].min()
             assert tent[t, slot] <= t_min_cl + 1e-4, (
                 f"tile {t} cluster {cl}: entry bound {tent[t, slot]} above "
