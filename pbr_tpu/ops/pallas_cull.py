@@ -53,7 +53,35 @@ def _precision(name: str):
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
+        "tri": "tri",  # hand-rolled bf16x3 (see _dot_k)
     }[name]
+
+
+def _dot_k(precision, a, b):
+    """K-contracted matmul ``a.T @ b`` for (K, M) x (K, N) f32.
+
+    ``precision='tri'``: bf16x3 via explicit hi/lo split — the accuracy of
+    lax.Precision.HIGH (~f32; relative error ~2^-22, far inside the
+    intersection gates) at half the MXU passes of HIGHEST. Mosaic rejects
+    HIGH itself, hence the hand-rolled form.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dims = (((0,), (0,)), ((), ()))
+    if precision != "tri":
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32, precision=precision
+        )
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dims, preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
 def _kernel(S, L, precision, any_hit,
@@ -95,10 +123,7 @@ def _kernel(S, L, precision, any_hit,
         cid = cid0
         coeff = coeff_ref[0]  # (K_ROWS, 4S)
         rays = rays_ref[0]  # (K_ROWS, tile)
-        out = jax.lax.dot_general(
-            coeff, rays, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # (4S, tile)
+        out = _dot_k(precision, coeff, rays)  # (4S, tile)
         det = out[0:S]
         tnum = out[S : 2 * S]
         unum = out[2 * S : 3 * S]
@@ -198,11 +223,13 @@ _BIG_NEG = np.float32(-3.0e38)
 
 def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
                   t0, f0, slots: int, any_hit: bool, watch_ref=None):
-    """Run the sweep in rounds of ``slots`` candidate slots, skipping whole
-    rounds (lax.cond — compiled both ways, executed only when needed) once
-    every tile is done: exhausted its candidates, early-outed on the entry
-    bounds, or (any-hit) fully occluded. ``watch_ref``: (T, tile) f32 of
-    per-ray shadow distances (any-hit's early-out key).
+    """Run the sweep in rounds of ``slots`` candidate slots as ONE
+    device-side ``lax.while_loop`` (one pallas node per pass regardless of
+    the round count — the integrator calls this twice per bounce, so graph
+    size and compile time scale with rounds otherwise). The loop stops as
+    soon as every tile is done: exhausted its candidates, early-outed on
+    the entry bounds, or (any-hit) fully occluded. ``watch_ref``: (T,
+    tile) f32 of per-ray shadow distances (any-hit's early-out key).
     """
     import jax
 
@@ -215,15 +242,7 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
         tent_tail = jnp.full((t_tiles, pad_c), np.float32(3.0e38), jnp.float32)
         tent = jnp.concatenate([tent[:, :c], tent_tail, tent[:, c:]], axis=1)
 
-    t_cur, f_cur = t0, f0
-    for r in range(r_rounds):
-        lo = r * l
-        cand_r = jax.lax.dynamic_slice_in_dim(cand, lo, l, 1)
-        tent_r = jax.lax.dynamic_slice_in_dim(tent, lo, l + 1, 1)
-        cnt_r = jnp.clip(cnt - np.int32(lo), 0, l)
-        if r == 0:
-            t_cur, f_cur = call_fn(cand_r, cnt_r, tent_r, coeff, feats, t_cur, f_cur)
-            continue
+    def tiles_done(lo, t_cur):
         # Tile-done criterion at the round boundary — exactly the kernel's
         # in-step early-out, evaluated in XLA.
         flat_t = t_cur.reshape(t_tiles, -1)
@@ -232,24 +251,36 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
         else:
             key = flat_t
         tmax = jnp.max(key, axis=1)
-        done = (cnt <= np.int32(lo)) | (tmax <= tent[:, lo])
-        live = jnp.any(~done)
+        tent_lo = jax.lax.dynamic_slice_in_dim(tent, lo, 1, 1)[:, 0]
+        return (cnt <= lo) | (tmax <= tent_lo)
+
+    def body(carry):
+        r, t_cur, f_cur = carry
+        lo = r * np.int32(l)
+        cand_r = jax.lax.dynamic_slice_in_dim(cand, lo, l, 1)
+        tent_r = jax.lax.dynamic_slice_in_dim(tent, lo, l + 1, 1)
+        cnt_r = jnp.clip(cnt - lo, 0, l)
+        done = tiles_done(lo, t_cur)
         # Done tiles: collapse their candidate row to one repeated entry
         # (the pipeline dedupes equal consecutive block fetches) and zero
         # their count.
         cand_r = jnp.where(done[:, None], cand_r[:, :1], cand_r)
         cnt_r = jnp.where(done, 0, cnt_r)
+        t_cur, f_cur = call_fn(cand_r, cnt_r, tent_r, coeff, feats, t_cur, f_cur)
+        return r + np.int32(1), t_cur, f_cur
 
-        def run(args):
-            cand_r, cnt_r, tent_r, t_cur, f_cur = args
-            return call_fn(cand_r, cnt_r, tent_r, coeff, feats, t_cur, f_cur)
+    def cond(carry):
+        r, t_cur, _ = carry
+        in_range = r < np.int32(r_rounds)
+        live = ~jnp.all(tiles_done(r * np.int32(l), t_cur))
+        return in_range & live
 
-        def skip(args):
-            return args[3], args[4]
-
-        t_cur, f_cur = jax.lax.cond(
-            live, run, skip, (cand_r, cnt_r, tent_r, t_cur, f_cur)
-        )
+    if r_rounds == 1:
+        cnt_r = jnp.clip(cnt, 0, l)
+        return call_fn(cand, cnt_r, tent, coeff, feats, t0, f0)
+    _, t_cur, f_cur = jax.lax.while_loop(
+        cond, body, (np.int32(0), t0, f0)
+    )
     return t_cur, f_cur
 
 
@@ -262,7 +293,7 @@ CULL_CHUNK_RAYS = 131072
 
 def intersect_cull(
     xp, o, d, cset, light_pos=None, alive=None, tile: int = 256,
-    slots: int = 128, precision: str = "highest", sort: bool = False,
+    slots: int = 128, precision: str = "tri", sort: bool = False,
     chunk_rays: int = CULL_CHUNK_RAYS, interpret: bool = False,
 ):
     """Nearest-hit over a ClusterSet via cull-and-sweep (jax + TPU only).

@@ -116,21 +116,26 @@ def test_candidates_jax_matches_numpy():
     np.testing.assert_allclose(np.asarray(t_j), t_np, rtol=1e-6, atol=1e-6)
 
 
-def _cull_vs_brute(n_faces, n_rays, csize, tile, slots, seed=7, sort=False):
+def _cull_vs_brute(n_faces, n_rays, csize, tile, slots, seed=7, sort=False, precision="highest"):
     scene, cset = _scene(n_faces, seed=seed, csize=csize)
     o, d = _rays(n_rays, seed=seed + 1)
     jset = jax.tree_util.tree_map(jnp.asarray, cset)
     ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
     dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
     t_c, f_c = intersect_cull(
-        jnp, ov, dv, jset, tile=tile, slots=slots, sort=sort, interpret=True
+        jnp, ov, dv, jset, tile=tile, slots=slots, sort=sort,
+        precision=precision, interpret=True,
     )
     jtris = jax.tree_util.tree_map(jnp.asarray, scene.tris)
     t_b, f_b = intersect_brute(jnp, ov, dv, jtris)
     np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_b))
     hit = np.asarray(f_b) >= 0
+    # Face identity is the contract (intersect_scene re-evaluates t exactly
+    # from the winner); the kernel's own t is only the search/early-out key,
+    # so the bf16x3 variant gets a looser t gate (grazing-hit cancellation).
+    rtol = 5e-3 if precision == "tri" else 1e-4
     np.testing.assert_allclose(
-        np.asarray(t_c)[hit], np.asarray(t_b)[hit], rtol=1e-4, atol=1e-5
+        np.asarray(t_c)[hit], np.asarray(t_b)[hit], rtol=rtol, atol=1e-5
     )
 
 
@@ -256,3 +261,8 @@ def test_cull_integrator_end_to_end_matches_bvh():
     d = np.abs(np.asarray(r_cull.color.x) - np.asarray(r_bvh.color.x))
     assert (d > 1e-4).mean() < 0.01  # ULP-flip budget (chaotic decisions)
     assert np.median(d) == 0.0
+
+
+def test_cull_tri_precision_matches_brute():
+    # bf16x3 hand-rolled matmul (~f32 accuracy) must keep face parity.
+    _cull_vs_brute(400, 512, csize=64, tile=64, slots=128, precision="tri")
