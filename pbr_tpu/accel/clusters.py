@@ -67,12 +67,17 @@ R_BB = 11
 SUPER = 16
 
 
-def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
+def build_clusters(
+    tris: TrianglesSoA, size: int = 128, face_min=None, face_max=None
+) -> ClusterSet:
     """Build a ClusterSet over main-order triangles (already in BVH leaf
     order — scene/build.py permutes before calling).
 
     ``size`` must be a multiple of 32 so the 4*size-lane coefficient blocks
-    stay 128-lane aligned.
+    stay 128-lane aligned. ``face_min``/``face_max`` ((F, 3) arrays):
+    optional per-face AABB override — Phong-tessellation scenes pass
+    curved-patch-inflated bounds (ops/phongtess.py::phongtess_face_aabbs)
+    so cluster/super AABBs stay conservative for the patches.
     """
     if size % 32:
         raise ValueError(f"cluster size must be a multiple of 32, got {size}")
@@ -119,13 +124,15 @@ def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
     # Padding clusters keep inverted boxes (min=+inf > max=-inf): the cull
     # stage and the kernel's box gate both reject them explicitly.
     verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (nf, 3, 3)
+    f_min = face_min if face_min is not None else verts.min(axis=1)
+    f_max = face_max if face_max is not None else verts.max(axis=1)
     bb_min = np.full((c, 3), np.inf, dtype=np.float32)
     bb_max = np.full((c, 3), -np.inf, dtype=np.float32)
     for i in range(c):
         lo, hi = i * size, min((i + 1) * size, nf)
         if hi > lo:
-            bb_min[i] = verts[lo:hi].min(axis=(0, 1))
-            bb_max[i] = verts[lo:hi].max(axis=(0, 1))
+            bb_min[i] = f_min[lo:hi].min(axis=0)
+            bb_max[i] = f_max[lo:hi].max(axis=0)
     # Kernel-readable AABB: coefficient row R_BB, lanes 0-5.
     coeffs[:, R_BB, 0:3] = bb_min
     coeffs[:, R_BB, 3:6] = bb_max
@@ -135,8 +142,8 @@ def build_clusters(tris: TrianglesSoA, size: int = 128) -> ClusterSet:
     s_min = bb_min.reshape(c2, SUPER, 3).min(axis=1)
     s_max = bb_max.reshape(c2, SUPER, 3).max(axis=1)
 
-    scene_min = verts.min(axis=(0, 1)).astype(np.float32)
-    scene_max = verts.max(axis=(0, 1)).astype(np.float32)
+    scene_min = f_min.min(axis=0).astype(np.float32)
+    scene_max = f_max.max(axis=0).astype(np.float32)
     return ClusterSet(
         bb_min=Vec3(*(bb_min[:, i].copy() for i in range(3))),
         bb_max=Vec3(*(bb_max[:, i].copy() for i in range(3))),

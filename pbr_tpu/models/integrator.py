@@ -413,7 +413,7 @@ def trace_rays(
 
                 t, face, pt_u, pt_v = intersect_scene_phongtess(
                     xp, o, d, scene, F32(settings.phong_tessellation),
-                    max_leaf=max_leaf,
+                    max_leaf=max_leaf, alive=alive,
                 )
             else:
                 if nee_enabled:

@@ -214,3 +214,36 @@ def candidates(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
     ok = xp.take_along_axis(hit_f, cand, axis=1)
     cand = xp.where(ok, cand, cand + CAND_MISS)
     return cand, counts, tent
+
+
+def candidates_fine(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
+    """Fine-granularity candidate lists: near-to-far argsort directly over
+    the fine clusters — for small-C consumers (the curved Phong-tess path
+    runs dense per-tile rounds, one cluster per round, so supercluster
+    expansion with miss-bit slots would waste whole rounds; the full
+    (T, C) sort is cheap at curved-scene sizes). Same return contract as
+    ``candidates`` minus the packing: ``(cand, counts, tent)``, entries
+    all valid.
+    """
+    c = cset.bb_min.x.shape[0]
+    ox = _tile_minmax(xp, o.x, tile)
+    oy = _tile_minmax(xp, o.y, tile)
+    oz = _tile_minmax(xp, o.z, tile)
+    dx = _tile_minmax(xp, d.x, tile)
+    dy = _tile_minmax(xp, d.y, tile)
+    dz = _tile_minmax(xp, d.z, tile)
+    o_lo, o_hi = Vec3(ox[0], oy[0], oz[0]), Vec3(ox[1], oy[1], oz[1])
+    d_lo, d_hi = Vec3(dx[0], dy[0], dz[0]), Vec3(dx[1], dy[1], dz[1])
+    hit, t_entry = frustum_hits(
+        xp, o_lo, o_hi, d_lo, d_hi, cset.bb_min, cset.bb_max, t_cap
+    )
+    counts = xp.sum(hit.astype(xp.int32), axis=1)
+    key = xp.where(hit, t_entry, _BIG)
+    order = xp.argsort(key, axis=1).astype(xp.int32)
+    j = xp.arange(c, dtype=xp.int32)[None, :]
+    take = xp.minimum(j, xp.maximum(counts[:, None] - 1, 0))
+    cand = xp.take_along_axis(order, take, axis=1)
+    tent = xp.where(
+        j < counts[:, None], xp.take_along_axis(t_entry, cand, axis=1), _BIG
+    )
+    return cand, counts, tent

@@ -60,10 +60,13 @@ def _precision(name: str):
 def _dot_k(precision, a, b):
     """K-contracted matmul ``a.T @ b`` for (K, M) x (K, N) f32.
 
-    ``precision='tri'``: bf16x3 via explicit hi/lo split — the accuracy of
-    lax.Precision.HIGH (~f32; relative error ~2^-22, far inside the
-    intersection gates) at half the MXU passes of HIGHEST. Mosaic rejects
-    HIGH itself, hence the hand-rolled form.
+    ``precision='tri'``: bf16x3 via explicit hi/lo split — the matmul-pass
+    cost of lax.Precision.HIGH (which Mosaic rejects) at ~2^-22 relative
+    error. NOT the default: rays originating ON surfaces (every bounce and
+    shadow ray) hit the ``km - o.m`` cancellation at t ~ 0, where the
+    absolute error (~6e-6 at scene scale) rivals EPSILON5 and flips the
+    self-hit gate (measured: 2/9 shadow-occlusion flips on the soup test).
+    Opt-in for workloads whose rays start off-surface.
     """
     import jax
     import jax.numpy as jnp
@@ -293,7 +296,7 @@ CULL_CHUNK_RAYS = 131072
 
 def intersect_cull(
     xp, o, d, cset, light_pos=None, alive=None, tile: int = 256,
-    slots: int = 128, precision: str = "tri", sort: bool = False,
+    slots: int = 128, precision: str = "highest", sort: bool = False,
     chunk_rays: int = CULL_CHUNK_RAYS, interpret: bool = False,
 ):
     """Nearest-hit over a ClusterSet via cull-and-sweep (jax + TPU only).

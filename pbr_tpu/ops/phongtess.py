@@ -464,10 +464,13 @@ def intersect_bvh_phongtess(
     return state[1:]
 
 
-def intersect_scene_phongtess(xp, o: Vec3, d: Vec3, scene, alpha, max_leaf: int = 2):
-    """Phong-tess nearest-hit dispatch: BVH walk when the scene has one
-    (built with inflated AABBs), brute sweep otherwise. Returns
-    ``(t, face, u, v)``.
+def intersect_scene_phongtess(
+    xp, o: Vec3, d: Vec3, scene, alpha, max_leaf: int = 2, alive=None
+):
+    """Phong-tess nearest-hit dispatch: the cluster-candidate dense search
+    (jax + large batches, scenes with a ClusterSet built over inflated
+    AABBs — the fast TPU path), the BVH walk when the scene has one, brute
+    sweep otherwise. Returns ``(t, face, u, v)``.
 
     Differentiability contract (mirrors ``intersect_scene``): the BVH search
     runs detached (while_loop has no reverse mode), then the winner's ``t``
@@ -490,9 +493,17 @@ def intersect_scene_phongtess(xp, o: Vec3, d: Vec3, scene, alpha, max_leaf: int 
         sg = jax.lax.stop_gradient
         o_s = Vec3(sg(o.x), sg(o.y), sg(o.z))
         d_s = Vec3(sg(d.x), sg(d.y), sg(d.z))
-    _, face, uu, vv = intersect_bvh_phongtess(
-        xp, o_s, d_s, scene.bvh, scene.tris, alpha, max_leaf=max_leaf
-    )
+    if is_jax and scene.clusters is not None and o.x.size >= 4096:
+        import jax
+
+        tris_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, scene.tris)
+        face, uu, vv = intersect_clusters_phongtess(
+            xp, o_s, d_s, scene.clusters, tris_sg, alpha, alive=alive
+        )
+    else:
+        _, face, uu, vv = intersect_bvh_phongtess(
+            xp, o_s, d_s, scene.bvh, scene.tris, alpha, max_leaf=max_leaf
+        )
 
     tris = scene.tris
     if is_jax:
@@ -574,3 +585,162 @@ def intersect_brute_phongtess(xp, o: Vec3, d: Vec3, tris: TrianglesSoA, alpha):
         u_best = xp.where(better, uu, u_best)
         v_best = xp.where(better, vv, v_best)
     return t_best, f_best, u_best, v_best
+
+
+def intersect_clusters_phongtess(
+    xp, o: Vec3, d: Vec3, cset, tris: TrianglesSoA, alpha,
+    alive=None, tile: int = 128, chunk_rays: int = 16384,
+):
+    """Detached nearest-hit SEARCH over cluster candidates with mixed
+    flat/curved (Phong-patch) faces — the fast TPU path for
+    ``phong_tessellation > 0`` (jax only). Returns ``(face, u, v)``.
+
+    Structure mirrors the cull-and-sweep intersector but stays in plain
+    XLA (the patch pipeline — two cubic solves with Newton polish per
+    face — is ~10x the ALU work of Möller-Trumbore, so dense VPU math
+    over the few candidate clusters beats any traversal, and no new
+    Mosaic surface is needed): the cull stage (ops/cull.py, cluster AABBs
+    inflated at build — accel/clusters.py face_min/face_max) yields
+    near-to-far candidate lists; a device-side while loop processes one
+    cluster per tile per round, evaluating all ``size`` member faces
+    against all ``tile`` rays densely (patch intersect for curved faces,
+    MT for flat), with the same entry-bound early-out and exact
+    (t, face)-lexicographic minima as the Pallas sweep.
+
+    ``alive``: dead lanes keep their rays (tight tiles) but are seeded
+    closed and report face = -1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.cull import candidates_fine
+
+    alpha = F32(alpha)
+    s = cset.size
+    c = cset.count
+    shape = o.x.shape
+    flat_n = int(np.prod(shape)) if shape else 1
+    chunk = min(
+        max(tile, (chunk_rays // tile) * tile), -(-flat_n // tile) * tile
+    )
+    pad = (-flat_n) % chunk
+    total = flat_n + pad
+    n_chunks = total // chunk
+    n_tiles = chunk // tile
+
+    def prep(a, mode="edge"):
+        a = a.reshape(-1)
+        if pad:
+            a = jnp.pad(a, (0, pad), mode=mode)
+        return a
+
+    ox, oy, oz = prep(o.x), prep(o.y), prep(o.z)
+    dx, dy, dz = prep(d.x), prep(d.y), prep(d.z)
+    if alive is None:
+        alive_f = jnp.ones((total,), dtype=bool)
+    else:
+        alive_f = prep(alive.astype(jnp.int32)) != 0
+    if pad:
+        alive_f = alive_f.at[flat_n:].set(False)
+
+    flat_flags = face_is_flat(jnp, tris)
+    nf_pad = c * s
+    fpad = nf_pad - int(tris.mtl.shape[0])
+
+    def fpadded(a, fill=0.0):
+        return jnp.pad(a, (0, fpad), constant_values=fill) if fpad else a
+
+    fields = {
+        "v0x": fpadded(tris.v0.x), "v0y": fpadded(tris.v0.y), "v0z": fpadded(tris.v0.z),
+        "e1x": fpadded(tris.e1.x), "e1y": fpadded(tris.e1.y), "e1z": fpadded(tris.e1.z),
+        "e2x": fpadded(tris.e2.x), "e2y": fpadded(tris.e2.y), "e2z": fpadded(tris.e2.z),
+        "n0x": fpadded(tris.n0.x), "n0y": fpadded(tris.n0.y), "n0z": fpadded(tris.n0.z),
+        "n1x": fpadded(tris.n1.x), "n1y": fpadded(tris.n1.y), "n1z": fpadded(tris.n1.z),
+        "n2x": fpadded(tris.n2.x), "n2y": fpadded(tris.n2.y), "n2z": fpadded(tris.n2.z),
+        # Padding faces are flat with zero edges: MT det = 0, never valid.
+        "flat": fpadded(flat_flags.astype(jnp.float32), fill=1.0),
+    }
+
+    _BIGN = np.float32(-3.0e38)
+
+    def chunk_fn(args):
+        ox, oy, oz, dx, dy, dz, alive_c = args
+        ov = Vec3(ox, oy, oz)
+        dv = Vec3(dx, dy, dz)
+        cand, cnt, tent = candidates_fine(jnp, ov, dv, cset, tile)
+        tent = jnp.concatenate(
+            [tent, jnp.full((n_tiles, 1), np.float32(3.0e38))], axis=1
+        )
+        o3 = Vec3(*(a.reshape(n_tiles, tile, 1) for a in (ox, oy, oz)))
+        d3 = Vec3(*(a.reshape(n_tiles, tile, 1) for a in (dx, dy, dz)))
+
+        t0 = jnp.where(alive_c, INF, _BIGN).reshape(n_tiles, tile)
+        f0 = jnp.full((n_tiles, tile), -1, jnp.int32)
+        u0 = jnp.zeros((n_tiles, tile), jnp.float32)
+
+        def tiles_done(r, t_b):
+            tent_r = jax.lax.dynamic_slice_in_dim(tent, r, 1, 1)[:, 0]
+            return (cnt <= r) | (jnp.max(t_b, axis=1) <= tent_r)
+
+        def cond(carry):
+            r = carry[0]
+            return (r < np.int32(c)) & ~jnp.all(tiles_done(r, carry[1]))
+
+        def body(carry):
+            r, t_b, f_b, u_b, v_b = carry
+            cid = jax.lax.dynamic_slice_in_dim(cand, r, 1, 1)[:, 0]  # (T,)
+            fids = cid[:, None] * np.int32(s) + jnp.arange(s, dtype=jnp.int32)
+            g = {k: v[fids][:, None, :] for k, v in fields.items()}  # (T,1,S)
+            P1 = Vec3(g["v0x"], g["v0y"], g["v0z"])
+            E1 = Vec3(g["e1x"], g["e1y"], g["e1z"])
+            E2 = Vec3(g["e2x"], g["e2y"], g["e2z"])
+            P2 = P1 + E1
+            P3 = P1 + E2
+            N1 = Vec3(g["n0x"], g["n0y"], g["n0z"])
+            N2 = Vec3(g["n1x"], g["n1y"], g["n1z"])
+            N3 = Vec3(g["n2x"], g["n2y"], g["n2z"])
+            t_mt, ok_mt = moller_trumbore(xp, o3, d3, P1, E1, E2)
+            t_pt, u_pt, v_pt, ok_pt = phongtess_patch_intersect(
+                xp, o3, d3, P1, P2, P3, N1, N2, N3, alpha,
+                t_best=t_b[:, :, None],
+            )
+            is_flat = g["flat"] > 0.5
+            tt = jnp.where(is_flat, jnp.where(ok_mt, t_mt, INF),
+                           jnp.where(ok_pt, t_pt, INF))
+            uu = jnp.where(is_flat, 0.0, u_pt)
+            vv = jnp.where(is_flat, 0.0, v_pt)
+            # Lexicographic (t, face-id) minimum over the cluster's faces.
+            k = jnp.argmin(tt, axis=2)  # first minimal face (ties)
+            take = lambda a: jnp.take_along_axis(a, k[:, :, None], 2)[:, :, 0]
+            tmin = take(tt)
+            fid = jnp.take_along_axis(
+                jnp.broadcast_to(fids[:, None, :], tt.shape), k[:, :, None], 2
+            )[:, :, 0]
+            umin = take(uu)
+            vmin = take(vv)
+            better = (tmin < INF) & (
+                (tmin < t_b) | ((tmin == t_b) & (fid < f_b))
+            )
+            t_b = jnp.where(better, tmin, t_b)
+            f_b = jnp.where(better, fid, f_b)
+            u_b = jnp.where(better, umin, u_b)
+            v_b = jnp.where(better, vmin, v_b)
+            return r + np.int32(1), t_b, f_b, u_b, v_b
+
+        _, t_b, f_b, u_b, v_b = jax.lax.while_loop(
+            cond, body, (np.int32(0), t0, f0, u0, u0)
+        )
+        return t_b.reshape(-1), f_b.reshape(-1), u_b.reshape(-1), v_b.reshape(-1)
+
+    args = tuple(
+        a.reshape(n_chunks, chunk)
+        for a in (ox, oy, oz, dx, dy, dz, alive_f)
+    )
+    if n_chunks == 1:
+        outs = chunk_fn(tuple(a[0] for a in args))
+    else:
+        outs = jax.lax.map(chunk_fn, args)
+    f_flat = outs[1].reshape(-1)[:flat_n].reshape(shape)
+    u_flat = outs[2].reshape(-1)[:flat_n].reshape(shape)
+    v_flat = outs[3].reshape(-1)[:flat_n].reshape(shape)
+    return f_flat, u_flat, v_flat

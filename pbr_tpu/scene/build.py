@@ -85,17 +85,27 @@ def build_scene(
                 v0, v1, v2, cfg, face_min=face_min, face_max=face_max
             )
         tris = permute_triangles(tris, leaf_order)
+        if face_min is not None:
+            face_min = face_min[leaf_order]
+            face_max = face_max[leaf_order]
     clusters = None
-    if tris.count > 256 and phong_tess_alpha == 0.0:
+    if tris.count > 256 and use_bvh:
         # Cull-and-sweep intersector tables (accel/clusters.py): cheap to
         # build (~64 B/face) and the TPU-servable path for every scene the
         # brute kernel shouldn't sweep whole. Triangles are already in BVH
         # leaf order, so contiguous cluster runs are spatially compact.
+        # Phong-tess scenes build cluster AABBs over the curved-patch-
+        # inflated face bounds so the dense patch search stays conservative
+        # (ops/phongtess.py::intersect_clusters_phongtess).
         from pbr_tpu.accel.clusters import build_clusters
 
         # 64-face clusters: the design study (tools/study_cull.py) shows
         # they minimize swept faces/ray at every scene size measured.
-        clusters = build_clusters(tris, size=64)
+        clusters = build_clusters(
+            tris, size=64,
+            face_min=face_min if phong_tess_alpha > 0.0 else None,
+            face_max=face_max if phong_tess_alpha > 0.0 else None,
+        )
     forest = None
     if bvh is not None and phong_tess_alpha == 0.0:
         from pbr_tpu.accel.forest import build_forest

@@ -213,3 +213,69 @@ def test_bvh_phongtess_grads_flow():
     assert np.isfinite(np.asarray(g_m.kd.x)).all()
     assert float(np.abs(np.asarray(g_m.kd.x)).sum()) > 0
     assert np.isfinite(np.asarray(g_c.eye.x)).all()
+
+
+def test_cluster_phongtess_search_matches_brute():
+    """The dense cluster-candidate search (the fast TPU path,
+    intersect_clusters_phongtess) must find the same winning faces as the
+    brute per-face sweep on an all-curved scene."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.ops.phongtess import intersect_clusters_phongtess
+
+    obj = _wavy_sheet_obj(12)  # 288 curved faces -> clusters built
+    scene, _ = scene_from_text(
+        obj, MTL, "", use_bvh=True, phong_tess_alpha=float(ALPHA)
+    )
+    assert scene.clusters is not None
+    o, d = _rays(512, seed=3)
+    t_b, f_b, u_b, v_b = intersect_brute_phongtess(np, o, d, scene.tris, ALPHA)
+
+    js = jax.tree_util.tree_map(jnp.asarray, scene)
+    ov = Vec3(*(jnp.asarray(a) for a in o))
+    dv = Vec3(*(jnp.asarray(a) for a in d))
+    f_c, u_c, v_c = intersect_clusters_phongtess(
+        jnp, ov, dv, js.clusters, js.tris, ALPHA, tile=64
+    )
+    agree = (np.asarray(f_c) == f_b).mean()
+    assert agree > 0.99, f"face agreement {agree:.4f}"  # cubic-solver ULP ties
+    same = np.asarray(f_c) == f_b
+    np.testing.assert_allclose(np.asarray(u_c)[same], u_b[same], atol=2e-3)
+
+    # Dead lanes report -1 and perturb nothing.
+    alive = jnp.asarray((np.arange(512) % 4) != 0)
+    f_a, _, _ = intersect_clusters_phongtess(
+        jnp, ov, dv, js.clusters, js.tris, ALPHA, tile=64, alive=alive
+    )
+    a = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(f_a)[a], np.asarray(f_c)[a])
+    assert np.all(np.asarray(f_a)[~a] == -1)
+
+
+def test_scene_phongtess_dispatch_uses_cluster_path():
+    """At production batch sizes intersect_scene_phongtess routes through
+    the cluster search; results must match the NumPy walk."""
+    import jax
+    import jax.numpy as jnp
+
+    obj = _wavy_sheet_obj(12)
+    scene, _ = scene_from_text(
+        obj, MTL, "", use_bvh=True, phong_tess_alpha=float(ALPHA)
+    )
+    o, d = _rays(4608, seed=9)  # >= 4096 triggers the cluster path
+    t_n, f_n, _, _ = intersect_scene_phongtess(np, o, d, scene, ALPHA)
+
+    js = jax.tree_util.tree_map(jnp.asarray, scene)
+    ov = Vec3(*(jnp.asarray(a) for a in o))
+    dv = Vec3(*(jnp.asarray(a) for a in d))
+    t_j, f_j, _, _ = jax.jit(
+        lambda ov, dv: intersect_scene_phongtess(jnp, ov, dv, js, ALPHA)
+    )(ov, dv)
+    agree = (np.asarray(f_j) == f_n).mean()
+    assert agree > 0.99, f"face agreement {agree:.4f}"
+    same = np.asarray(f_j) == f_n
+    hit = same & (f_n >= 0)
+    np.testing.assert_allclose(
+        np.asarray(t_j)[hit], t_n[hit], rtol=2e-3, atol=2e-4
+    )
