@@ -73,6 +73,14 @@ def main() -> None:
         "--block", type=int, default=128, help="compaction row granularity (lanes)"
     )
     ap.add_argument(
+        "--bounce-loop",
+        default=None,
+        choices=["unroll", "scan"],
+        dest="bounce_loop",
+        help="bounce-loop strategy override (default: unroll — production "
+        "runtime; big-scene configs may prefer scan's flat compile time)",
+    )
+    ap.add_argument(
         "--remat",
         default="none",
         choices=["none", "save_isect"],
@@ -170,7 +178,7 @@ def main() -> None:
         shadow_rays=1,
         anti_aliasing=0.7,
         sky_light=sky_override,
-        bounce_loop="unroll",  # production: runtime over compile time
+        bounce_loop=args.bounce_loop or "unroll",  # production default: runtime over compile
         # Row-granular live compaction: lane-level compaction is a loss on
         # TPU (per-lane gathers serialize — measured ~100 ms/point at 1M
         # lanes), so compaction works on rows of --block consecutive lanes
