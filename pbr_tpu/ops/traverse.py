@@ -349,31 +349,24 @@ def intersect_scene(
 
             on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
-            # MEASURED policy (tools/tpu_queue.py on v5e, 1M rays, both
-            # coherent primary and incoherent random rays, soup scenes):
-            # the fused brute Pallas sweep beats the packet BVH kernel at
-            # every size its SMEM triangle table fits (49 vs 4.4 M rays/s
-            # at 1k tris, 7.2 vs 2.6 M at 10k — zero control flow beats
-            # one-node-per-step tile traversal), and the chunked XLA
-            # gather walk is 10-30x slower than either. Dispatch: brute to
-            # the SMEM limit, packet BVH in its VMEM window above that,
-            # gather walk only as the last resort.
-            from pbr_tpu.ops.pallas_bvh import packet_fits
+            # MEASURED policy (tools/tpu_queue.py 'cull' step + probes on
+            # v5e, 1M coherent camera rays, docs/PERF.md round 3): the
+            # cull-and-sweep intersector beats the fused brute sweep from
+            # ~1k faces up (suzanne 1082: 39 vs 32 M rays/s; soup 4000:
+            # 20 vs 15; soup 10000: 11 vs 6.8) and is the only servable
+            # path beyond the brute SMEM window; brute keeps tiny scenes
+            # (Cornell 34 tris: brute wins by an order of magnitude — zero
+            # control flow beats any candidate machinery). The packet BVH
+            # kernel and the forest never win anywhere (r2 measurement,
+            # traversal serializes on tile-uniform cursors) and remain
+            # explicit modes only.
             from pbr_tpu.ops.pallas_intersect import BRUTE_SMEM_MAX_FACES
 
-            if scene.tris.count <= BRUTE_SMEM_MAX_FACES:
+            if scene.clusters is not None and scene.tris.count > 512:
+                mode = "cull"
+            elif scene.tris.count <= BRUTE_SMEM_MAX_FACES:
                 mode = "pallas"
-            elif scene.bvh is not None and packet_fits(scene.bvh, scene.tris):
-                mode = "pallas_bvh"
             elif scene.forest is not None:
-                # Big scenes: forest of VMEM-resident sub-BVHs, each walked
-                # by the proven packet kernel (accel/forest.py). The
-                # single-tree alternative ('pallas_bvh_hbm', coarse VMEM
-                # node walk + HBM leaf slabs) is correct in interpret mode
-                # but this environment's Mosaic sends its DMA-inside-while
-                # kernel into a non-terminating compile that wedges the
-                # remote compile service (docs/PERF.md) — opt in explicitly
-                # on a stack where it compiles.
                 mode = "pallas_bvh_forest"
             else:
                 # Last resort: the chunked XLA gather walk (slow but runs

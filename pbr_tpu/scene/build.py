@@ -107,15 +107,15 @@ def build_scene(
             face_max=face_max if phong_tess_alpha > 0.0 else None,
         )
     forest = None
-    if bvh is not None and phong_tess_alpha == 0.0:
+    if bvh is not None and phong_tess_alpha == 0.0 and clusters is None:
         from pbr_tpu.accel.forest import build_forest
         from pbr_tpu.ops.pallas_bvh import packet_fits
 
-        # Only scenes the single-tree packet kernel canNOT serve get a
-        # forest (auto-dispatch prefers the packet kernel while its VMEM
-        # tables fit — ops/traverse.py — so building a forest below that
-        # bound would only duplicate geometry that is never walked).
-        # Curved Phong-tess patches keep the single inflated-AABB tree.
+        # The forest is the big-scene FALLBACK when no ClusterSet exists
+        # (auto-dispatch prefers the cull-and-sweep intersector, which
+        # beats every tile-uniform walk measured — ops/traverse.py);
+        # building one next to clusters would duplicate geometry that is
+        # never walked. Explicit builds via accel.forest.build_forest.
         if not packet_fits(bvh, tris):
             forest = build_forest(tris)
     materials = obj.mtl.to_soa()

@@ -147,21 +147,20 @@ def test_intersect_scene_dispatches_forest():
 
 
 def test_big_scene_builds_forest():
-    """build_scene attaches a forest exactly when the single-tree packet
-    kernel cannot hold the scene (ops/pallas_bvh.py::packet_fits), and the
-    sub-tables respect the packet kernel's VMEM row budget."""
-    from pbr_tpu.ops.pallas_bvh import PALLAS_BVH_MAX_ROWS, packet_fits
+    """build_scene attaches cluster tables to big scenes (the cull
+    intersector auto-dispatch target); the forest is the explicit-build
+    fallback only (auto-dispatch never walks it — it loses to cull at
+    every measured size) and its sub-tables respect the packet kernel's
+    VMEM row budget when built."""
+    from pbr_tpu.accel.forest import build_forest
+    from pbr_tpu.ops.pallas_bvh import PALLAS_BVH_MAX_ROWS
 
     scene, _ = scene_from_text(random_soup(16_000, seed=0), use_bvh=True)
-    assert not packet_fits(scene.bvh, scene.tris)
-    assert scene.forest is not None
-    assert len(scene.forest.bvhs) == 2
-    for b in scene.forest.bvhs:
-        assert b.count + scene.forest.chunk_size <= PALLAS_BVH_MAX_ROWS
-    # Scenes the packet kernel CAN hold don't pay for one (auto-dispatch
-    # would never walk it — advisor round 2).
-    mid, _ = scene_from_text(random_soup(10_500, seed=0), use_bvh=True)
-    assert packet_fits(mid.bvh, mid.tris)
-    assert mid.forest is None
+    assert scene.clusters is not None
+    assert scene.forest is None  # clusters supersede it
+    forest = build_forest(scene.tris)
+    assert len(forest.bvhs) == 2
+    for b in forest.bvhs:
+        assert b.count + forest.chunk_size <= PALLAS_BVH_MAX_ROWS
     small, _ = scene_from_text(random_soup(200, seed=0), use_bvh=True)
-    assert small.forest is None
+    assert small.forest is None and small.clusters is None
