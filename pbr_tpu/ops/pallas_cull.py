@@ -87,7 +87,7 @@ def _dot_k(precision, a, b):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
-def _kernel(S, L, precision, any_hit,
+def _kernel(S, L, precision, any_hit, early_out,
             cand_ref, cnt_ref, tent_ref,
             coeff_ref, rays_ref, tin_ref, fin_ref,
             t_ref, f_ref, done_s):
@@ -118,8 +118,13 @@ def _kernel(S, L, precision, any_hit,
     # Slot verdict: the cull stage already frustum-tested this FINE
     # cluster (its miss bit rides in the candidate entry — ops/cull.py),
     # so a skipped slot costs two scalar SMEM reads and nothing else.
+    # ``early_out=False`` (small candidate counts): no done flag at all —
+    # the per-step cross-lane max + SMEM round-trip is serial latency that
+    # costs more than the few slots it could skip.
     cid0 = cand_ref[t, l]
-    run = (l < cnt_ref[t]) & (done_s[0] == 0) & (cid0 < np.int32(1 << 20))
+    run = (l < cnt_ref[t]) & (cid0 < np.int32(1 << 20))
+    if early_out:
+        run = run & (done_s[0] == 0)
 
     @pl.when(run)
     def _():
@@ -144,11 +149,14 @@ def _kernel(S, L, precision, any_hit,
             occ_new = jnp.any(valid & (tt < t_lim), axis=0, keepdims=True)
             occ = jnp.maximum(t_ref[0], occ_new.astype(jnp.float32))
             t_ref[0] = occ
-            # Done once every not-yet-occluded ray's light distance is
-            # nearer than the next cluster's entry bound (occluded rays
-            # drop out via -BIG).
-            watch = jnp.where(occ > 0.0, np.float32(-3.0e38), t_lim)
-            done_s[0] = (jnp.max(watch) <= tent_ref[t, l + 1]).astype(jnp.int32)
+            if early_out:
+                # Done once every not-yet-occluded ray's light distance is
+                # nearer than the next cluster's entry bound (occluded
+                # rays drop out via -BIG).
+                watch = jnp.where(occ > 0.0, np.float32(-3.0e38), t_lim)
+                done_s[0] = (
+                    jnp.max(watch) <= tent_ref[t, l + 1]
+                ).astype(jnp.int32)
         else:
             tt = jnp.where(valid, tt, INF)
             tmin = jnp.min(tt, axis=0, keepdims=True)  # (1, tile)
@@ -167,7 +175,10 @@ def _kernel(S, L, precision, any_hit,
             t_new = jnp.where(better, tmin, t_best)
             t_ref[0] = t_new
             f_ref[0] = jnp.where(better, fid, f_best)
-            done_s[0] = (jnp.max(t_new) <= tent_ref[t, l + 1]).astype(jnp.int32)
+            if early_out:
+                done_s[0] = (
+                    jnp.max(t_new) <= tent_ref[t, l + 1]
+                ).astype(jnp.int32)
 
 
 def _vma_of(x):
@@ -184,8 +195,8 @@ def _vma_of(x):
 
 @functools.lru_cache(maxsize=None)
 def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
-                precision: str, any_hit: bool, interpret: bool = False,
-                vma: tuple = ()):
+                precision: str, any_hit: bool, early_out: bool = True,
+                interpret: bool = False, vma: tuple = ()):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -211,7 +222,7 @@ def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
     )
     kw = {"vma": frozenset(vma)} if vma else {}
     return pl.pallas_call(
-        functools.partial(_kernel, s, slots, _precision(precision), any_hit),
+        functools.partial(_kernel, s, slots, _precision(precision), any_hit, early_out),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32, **kw),
@@ -395,8 +406,12 @@ def intersect_cull(
         )
         feats = feats_of(ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tlim)
         call = _build_call(
-            c, s, tile, n_tiles, slots, precision, any_hit, interpret,
-            vma=_vma_of(ov.x),
+            c, s, tile, n_tiles, slots, precision, any_hit,
+            # Small candidate sets (single-round scenes): drop the per-step
+            # done flag — its cross-lane max + SMEM round-trip is serial
+            # latency worth more than the few slots it can skip.
+            early_out=c > 96,
+            interpret=interpret, vma=_vma_of(ov.x),
         )
         return _sweep_rounds(
             jnp, call, cand, cnt, tent, coeff, feats,

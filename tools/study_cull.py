@@ -1,5 +1,9 @@
 """Design study for the cull-and-sweep intersector (CPU, NumPy — no TPU).
 
+Uses the FINE-granularity candidate formulation (ops/cull.py
+candidates_fine) so counts mean clusters; production uses the
+supercluster-packed variant with identical conservative semantics.
+
 Measures, on the real scenes the round cares about (soup:100k, a
 suzanne-scale OBJ), the per-tile candidate-cluster count distribution of
 ops/cull.py's conservative frustum test across (tile size x cluster size),
@@ -24,7 +28,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from pbr_tpu.accel.clusters import build_clusters  # noqa: E402
-from pbr_tpu.ops.cull import candidates, coherence_keys  # noqa: E402
+from pbr_tpu.ops.cull import candidates_fine as candidates, coherence_keys  # noqa: E402
 from pbr_tpu.ops.vec import Vec3  # noqa: E402
 from pbr_tpu.scene.build import scene_from_text  # noqa: E402
 from pbr_tpu.scene.camera import make_camera_state, pixel_dim  # noqa: E402
