@@ -307,7 +307,7 @@ CULL_CHUNK_RAYS = 131072
 
 def intersect_cull(
     xp, o, d, cset, light_pos=None, alive=None, tile: int = 256,
-    slots: int = 128, precision: str = "highest", sort: bool = True,
+    slots: int = 128, precision: str = "highest", sort=None,
     chunk_rays: int = CULL_CHUNK_RAYS, interpret: bool = False,
 ):
     """Nearest-hit over a ClusterSet via cull-and-sweep (jax + TPU only).
@@ -323,12 +323,14 @@ def intersect_cull(
     (t = -BIG), contribute no work, never block a tile's early-out, and
     report face = -1.
 
-    ``sort=True`` (default): one octant+Morton argsort per call. Bounce
-    rays with hemisphere-spread directions leave tile direction intervals
-    sign-mixed, which disables the slab constraint and costs 4x (measured
-    3397 vs 793 ms per 1M-bounce-ray pass at 100k faces); coherent
-    primary batches pay only the sort itself. The derived NEE shadow pass
-    reuses the sorted order (shadow origins inherit its locality).
+    ``sort``: one octant+Morton argsort per call. Bounce rays with
+    hemisphere-spread directions leave tile direction intervals
+    sign-mixed, which disables the slab constraint and costs 4x at 100k
+    faces (measured 3397 vs 793 ms per 1M-bounce-ray pass); but the sort
+    itself costs ~80 ms per 1M-ray call, which dwarfs everything at small
+    cluster counts. Default (None): sort iff the scene exceeds one
+    candidate round (C > 96). The derived NEE shadow pass reuses the
+    sorted order (shadow origins inherit its locality).
 
     Batches beyond ``chunk_rays`` run as a device-side ``lax.map`` over
     ray chunks (one compiled body): the per-call scalar-prefetch tables
@@ -353,6 +355,8 @@ def intersect_cull(
     n_chunks = total // chunk
     n_tiles = chunk // tile
     slots = min(slots, c)
+    if sort is None:
+        sort = c > 96
 
     def prep(a, mode="edge"):
         a = a.reshape(-1)
