@@ -43,8 +43,6 @@ from pbr_tpu.accel.clusters import K_ROWS
 from pbr_tpu.ops.intersect import INF
 from pbr_tpu.utils.config import EPSILON5
 
-_LANES = 128
-
 
 def _precision(name: str):
     import jax
