@@ -349,20 +349,21 @@ def intersect_scene(
 
             on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
-            # MEASURED policy (tools/tpu_queue.py 'cull' step + probes on
-            # v5e, 1M coherent camera rays, docs/PERF.md round 3): the
-            # cull-and-sweep intersector beats the fused brute sweep from
-            # ~1k faces up (suzanne 1082: 39 vs 32 M rays/s; soup 4000:
-            # 20 vs 15; soup 10000: 11 vs 6.8) and is the only servable
-            # path beyond the brute SMEM window; brute keeps tiny scenes
-            # (Cornell 34 tris: brute wins by an order of magnitude — zero
-            # control flow beats any candidate machinery). The packet BVH
-            # kernel and the forest never win anywhere (r2 measurement,
-            # traversal serializes on tile-uniform cursors) and remain
-            # explicit modes only.
+            # MEASURED policy (docs/PERF.md round 3, END-TO-END frames —
+            # intersect-only rankings invert on full frames because
+            # hemisphere-scattered bounce rays favor brute's straight-line
+            # sweep): brute wins whole frames up through suzanne-scale
+            # (8.4 vs 5.3 M rays/s fwd+bwd at 1,082 faces) but its
+            # unrolled program stops COMPILING inside the integrator by
+            # 4,000 faces (remote-compile failure); cull serves every size
+            # above. Threshold 2048 = between the largest size brute is
+            # proven better at and the first size it cannot build. The
+            # packet BVH kernel and the forest never win anywhere (r2
+            # measurement, traversal serializes on tile-uniform cursors)
+            # and remain explicit modes only.
             from pbr_tpu.ops.pallas_intersect import BRUTE_SMEM_MAX_FACES
 
-            if scene.clusters is not None and scene.tris.count > 512:
+            if scene.clusters is not None and scene.tris.count > 2048:
                 mode = "cull"
             elif scene.tris.count <= BRUTE_SMEM_MAX_FACES:
                 mode = "pallas"
