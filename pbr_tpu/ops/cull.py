@@ -247,3 +247,23 @@ def candidates_fine(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=Non
         j < counts[:, None], xp.take_along_axis(t_entry, cand, axis=1), _BIG
     )
     return cand, counts, tent
+
+
+def fine_hit_mask(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
+    """(T, C) fine-cluster frustum verdicts (no ordering, no lists) — the
+    masked-sweep kernel's input: it visits clusters in static ascending
+    order gated by these bits, so small scenes skip candidate
+    selection/sorting entirely."""
+    ox = _tile_minmax(xp, o.x, tile)
+    oy = _tile_minmax(xp, o.y, tile)
+    oz = _tile_minmax(xp, o.z, tile)
+    dx = _tile_minmax(xp, d.x, tile)
+    dy = _tile_minmax(xp, d.y, tile)
+    dz = _tile_minmax(xp, d.z, tile)
+    hit, _ = frustum_hits(
+        xp,
+        Vec3(ox[0], oy[0], oz[0]), Vec3(ox[1], oy[1], oz[1]),
+        Vec3(dx[0], dy[0], dz[0]), Vec3(dx[1], dy[1], dz[1]),
+        cset.bb_min, cset.bb_max, t_cap,
+    )
+    return hit

@@ -179,6 +179,108 @@ def _kernel(S, L, precision, any_hit, early_out,
                 ).astype(jnp.int32)
 
 
+def _kernel_masked(S, C, precision, any_hit,
+                   mask_ref, coeff_ref, rays_ref, tin_ref, fin_ref,
+                   t_ref, f_ref):
+    """Masked sweep: the small/mid-scene variant (whole coefficient table
+    VMEM-resident, grid over ray tiles only).
+
+    The slotted kernel's per-step scalar chain (prefetched candidate
+    reads, done flag, pipeline block fetches) is pure serial latency when
+    a tile only needs a handful of clusters; here every cluster is a
+    STATICALLY unrolled section gated by one prefetched verdict bit —
+    straight-line code like the proven brute kernel, minus the clusters
+    the tile's frustum misses. No candidate lists, no sort, no early-out.
+    Bits pack 16/word (sign-safe int32 SMEM).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+    t_ref[...] = tin_ref[...]
+    f_ref[...] = fin_ref[...]
+    rays = rays_ref[0]  # (K_ROWS, tile)
+    if any_hit:
+        t_lim = rays[10:11, :]
+
+    for c in range(C):
+        bit = (mask_ref[t, c // 16] >> (c % 16)) & 1
+
+        @pl.when(bit != 0)
+        def _(c=c):
+            coeff = coeff_ref[c]  # (K_ROWS, 4S)
+            out = _dot_k(precision, coeff, rays)  # (4S, tile)
+            det = out[0:S]
+            tnum = out[S : 2 * S]
+            unum = out[2 * S : 3 * S]
+            vnum = out[3 * S : 4 * S]
+            inv = 1.0 / det
+            tt = tnum * inv
+            u = unum * inv
+            v = vnum * inv
+            valid = (
+                (tt >= np.float32(EPSILON5))
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+            )
+            if any_hit:
+                occ_new = jnp.any(valid & (tt < t_lim), axis=0, keepdims=True)
+                t_ref[0] = jnp.maximum(t_ref[0], occ_new.astype(jnp.float32))
+            else:
+                tt = jnp.where(valid, tt, INF)
+                tmin = jnp.min(tt, axis=0, keepdims=True)
+                rowid = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+                fsub = jnp.min(
+                    jnp.where(tt == tmin, rowid, np.int32(2**30)),
+                    axis=0, keepdims=True,
+                )
+                fid = np.int32(c * S) + fsub
+                t_best = t_ref[0]
+                f_best = f_ref[0]
+                better = (tmin < INF) & (
+                    (tmin < t_best) | ((tmin == t_best) & (fid < f_best))
+                )
+                t_ref[0] = jnp.where(better, tmin, t_best)
+                f_ref[0] = jnp.where(better, fid, f_best)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_masked(c: int, s: int, tile: int, n_tiles: int,
+                       precision: str, any_hit: bool,
+                       interpret: bool = False, vma: tuple = ()):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # (T, W) verdict bit words
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((c, K_ROWS, 4 * s), lambda t, m: (0, 0, 0)),
+            pl.BlockSpec((1, K_ROWS, tile), lambda t, m: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tile), lambda t, m: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tile), lambda t, m: (t, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, tile), lambda t, m: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tile), lambda t, m: (t, 0, 0)),
+        ),
+    )
+    kw = {"vma": frozenset(vma)} if vma else {}
+    return pl.pallas_call(
+        functools.partial(_kernel_masked, s, c, _precision(precision), any_hit),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32, **kw),
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32, **kw),
+        ),
+        interpret=interpret,
+    )
+
+
 def _vma_of(x):
     """Varying-axes metadata of ``x`` (inside shard_map), as a hashable
     tuple — pallas_call out_shapes must declare it explicitly."""
@@ -302,6 +404,13 @@ def _sweep_rounds(jnp, call_fn, cand, cnt, tent, coeff, feats,
 # prefetch data per call, ~530 KB at the default 128 slots.
 CULL_CHUNK_RAYS = 131072
 
+# Scenes up to this many clusters (x64 faces) use the masked sweep: the
+# whole coefficient table is VMEM-resident (16 KB/cluster) and every
+# cluster is a statically unrolled, bit-gated section — no candidate
+# lists, no sort, no per-step scalar chain. Bounded by Mosaic program
+# size (sections unroll) and VMEM, both comfortable at 48.
+MASKED_MAX_CLUSTERS = 48
+
 
 def intersect_cull(
     xp, o, d, cset, light_pos=None, alive=None, tile: int = 256,
@@ -402,11 +511,36 @@ def intersect_cull(
         return f.reshape(K_ROWS, n_tiles, tile).transpose(1, 0, 2)
 
     def run_pass(ov, dv, tlim, seed_t, seed_f, any_hit, t_cap, watch):
+        feats = feats_of(ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tlim)
+        if c <= MASKED_MAX_CLUSTERS:
+            from pbr_tpu.ops.cull import fine_hit_mask
+
+            hit = fine_hit_mask(jnp, ov, dv, cset, tile, t_cap=t_cap)
+            w = -(-c // 16)
+            pad_bits = w * 16 - c
+            bits = hit.astype(jnp.int32)
+            if pad_bits:
+                bits = jnp.concatenate(
+                    [bits, jnp.zeros((n_tiles, pad_bits), jnp.int32)], axis=1
+                )
+            words = jnp.sum(
+                bits.reshape(n_tiles, w, 16)
+                << jnp.arange(16, dtype=jnp.int32)[None, None, :],
+                axis=2,
+                dtype=jnp.int32,
+            )
+            call = _build_call_masked(
+                c, s, tile, n_tiles, precision, any_hit,
+                interpret=interpret, vma=_vma_of(ov.x),
+            )
+            return call(
+                words, coeff, feats,
+                seed_t.reshape(n_tiles, 1, tile), seed_f.reshape(n_tiles, 1, tile),
+            )
         cand, cnt, tent = candidates(jnp, ov, dv, cset, tile, t_cap=t_cap)
         tent = jnp.concatenate(
             [tent, jnp.full((n_tiles, 1), np.float32(3.0e38), jnp.float32)], axis=1
         )
-        feats = feats_of(ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tlim)
         call = _build_call(
             c, s, tile, n_tiles, slots, precision, any_hit,
             # Small candidate sets (single-round scenes): drop the per-step

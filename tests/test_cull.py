@@ -148,8 +148,30 @@ def test_cull_matches_brute_sorted():
 
 
 def test_cull_matches_brute_multi_round():
-    # slots < cluster count forces the round loop (and its lax.cond skips).
-    _cull_vs_brute(400, 256, csize=32, tile=64, slots=3)
+    # C > MASKED_MAX_CLUSTERS forces the slotted kernel, and slots < C
+    # forces its round loop.
+    _cull_vs_brute(2000, 256, csize=32, tile=64, slots=16)
+
+
+def test_cull_masked_vs_slotted_same_results():
+    # The masked sweep (small C) and the slotted kernel must agree exactly;
+    # force the slotted path by shrinking slots on a small-C scene via the
+    # internal builder threshold (chunk through both by face count).
+    scene, cset = _scene(400, seed=3, csize=64)
+    o, d = _rays(384, seed=21)
+    jset = jax.tree_util.tree_map(jnp.asarray, cset)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    import pbr_tpu.ops.pallas_cull as pc
+
+    _, f_masked = intersect_cull(jnp, ov, dv, jset, tile=64, interpret=True)
+    old = pc.MASKED_MAX_CLUSTERS
+    try:
+        pc.MASKED_MAX_CLUSTERS = 0  # force slotted
+        _, f_slotted = intersect_cull(jnp, ov, dv, jset, tile=64, interpret=True)
+    finally:
+        pc.MASKED_MAX_CLUSTERS = old
+    np.testing.assert_array_equal(np.asarray(f_masked), np.asarray(f_slotted))
 
 
 def test_cull_odd_batch_padding():
