@@ -158,11 +158,10 @@ class Viewer:
         self.tracer = PathTracer(
             scene, draft if use_draft else settings, max_leaf=max_leaf
         )
+        self._refine_wanted = use_draft
         self._resets = 0  # progressive restarts (observable for tests);
         # set before Camera() — its reset() fires on_update immediately.
         self.camera = Camera(cam_cfg, on_update=self._on_camera_update)
-        if use_draft:
-            self._start_refine()  # needs the camera for the AOT warmup
         self._resets = 0
         self.settings = settings
         self.exposure = exposure
@@ -296,7 +295,17 @@ class Viewer:
             self.tracer.reset_sample_count()
 
     # ---- frame loop ------------------------------------------------------
+    # Draft frames before the production compile thread starts. On stacks
+    # whose compile service is SERIALIZED (the tunneled dev chip —
+    # docs/PERF.md), a warmup launched at t=0 would queue AHEAD of the
+    # draft step itself; a short draft-only burst guarantees the first
+    # frames are on screen before the big compile enters the queue.
+    _REFINE_AFTER_FRAMES = 8
+
     def render_one(self) -> None:
+        if self._refine_wanted and self.frame >= self._REFINE_AFTER_FRAMES:
+            self._refine_wanted = False
+            self._start_refine()
         self._maybe_swap_refined()
         self.tracer.render(self.camera.state(focus=self.focus), frame_seed=self.frame)
         self.frame += 1

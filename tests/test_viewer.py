@@ -163,8 +163,9 @@ def test_draft_then_refine_swaps_tracer():
         out=io.StringIO(), draft_startup=True,
     )
     assert v.tracer.settings.max_depth == 2  # draft step active
-    assert v._pending is not None
+    v.run(max_frames=v._REFINE_AFTER_FRAMES + 1, draw=False)
+    assert v._pending is not None  # refine kicked off after the draft burst
     v._pending[0].join(timeout=300)
-    v.run(max_frames=2, draw=False)
+    v.run(max_frames=v.frame + 2, draw=False)
     assert v.tracer.settings == settings  # production step swapped in
     assert v.tracer.sample_count >= 1
