@@ -65,8 +65,11 @@ def main() -> None:
         # Measured schedule search (tools/prof_compactcfg.py, docs/PERF.md):
         # block=128 with caps just above the observed row-live fractions
         # (bounce 4: 0.703, bounce 5: 0.051) beat every smaller-block /
-        # earlier-compaction variant; 0.73/0.07 keeps seed-noise headroom.
-        default="4:0.73,5:0.07",
+        # earlier-compaction variant; 0.73/0.07 keeps seed-noise headroom
+        # on the Cornell scene it was tuned on. Other scenes default to
+        # wider caps (their extension occupancy differs — suzanne
+        # overflowed the Cornell caps by ~0.3% of lanes).
+        default=None,
         help="compaction schedule bounce:frac[,bounce:frac...] (row fracs)",
     )
     ap.add_argument(
@@ -192,7 +195,10 @@ def main() -> None:
         if args.no_compact
         else tuple(
             (int(p.split(":")[0]), float(p.split(":")[1]))
-            for p in args.compact.split(",")
+            for p in (
+                args.compact
+                or ("4:0.73,5:0.07" if scene_tag == "cornell" else "4:0.85,5:0.2")
+            ).split(",")
         ),
         compact_block=args.block,
         remat=args.remat,
