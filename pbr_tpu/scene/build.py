@@ -99,10 +99,12 @@ def build_scene(
         # (ops/phongtess.py::intersect_clusters_phongtess).
         from pbr_tpu.accel.clusters import build_clusters
 
-        # 64-face clusters: the design study (tools/study_cull.py) shows
-        # they minimize swept faces/ray at every scene size measured.
+        # 64-face clusters minimize swept faces/ray (tools/study_cull.py);
+        # very large scenes prefer 128 — fewer, bigger sweep steps beat
+        # the per-step overhead (measured at 100k: 232-242 vs 285-294 ms
+        # per 1M-coherent-ray pass, docs/PERF.md).
         clusters = build_clusters(
-            tris, size=64,
+            tris, size=128 if tris.count > 50_000 else 64,
             face_min=face_min if phong_tess_alpha > 0.0 else None,
             face_max=face_max if phong_tess_alpha > 0.0 else None,
         )
