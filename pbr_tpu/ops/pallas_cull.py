@@ -40,6 +40,7 @@ import functools
 import numpy as np
 
 from pbr_tpu.accel.clusters import K_ROWS
+from pbr_tpu.ops.cull import CAND_MISS
 from pbr_tpu.ops.intersect import INF
 from pbr_tpu.utils.config import EPSILON5
 
@@ -120,7 +121,7 @@ def _kernel(S, L, precision, any_hit, early_out,
     # the per-step cross-lane max + SMEM round-trip is serial latency that
     # costs more than the few slots it could skip.
     cid0 = cand_ref[t, l]
-    run = (l < cnt_ref[t]) & (cid0 < np.int32(1 << 20))
+    run = (l < cnt_ref[t]) & (cid0 < CAND_MISS)
     if early_out:
         run = run & (done_s[0] == 0)
 
@@ -308,7 +309,7 @@ def _build_call(n_clusters: int, s: int, tile: int, n_tiles: int, slots: int,
         in_specs=[
             pl.BlockSpec(  # coefficient block of the step's candidate
                 (1, K_ROWS, 4 * s),
-                lambda t, l, cand, cnt, tent: (cand[t, l] & 0xFFFFF, 0, 0),
+                lambda t, l, cand, cnt, tent: (cand[t, l] & (CAND_MISS - 1), 0, 0),
             ),
             pl.BlockSpec((1, K_ROWS, tile), lambda t, l, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, tile), lambda t, l, *_: (t, 0, 0)),  # t seed
