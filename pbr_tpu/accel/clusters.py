@@ -66,6 +66,16 @@ R_BB = 11
 # arithmetically and the kernel box-gates each fine cluster itself.
 SUPER = 16
 
+# Row-sweep (ops/pallas_sweep.py) lin-cluster face count: one full f32 lane
+# row, so every vector op in the VPU-form kernel runs at native width with
+# zero lane padding. Independent of the fine ``size`` above.
+LIN_SIZE = 128
+
+# Rows of the lin coefficient block: the 16 hoisted linear-form constants
+# (_lin_table order, ops/pallas_intersect.py): m(3), km, w(3), q(3), e1(3),
+# e2(3).
+LIN_ROWS = 16
+
 
 def build_clusters(
     tris: TrianglesSoA, size: int = 128, face_min=None, face_max=None
@@ -142,8 +152,51 @@ def build_clusters(
     s_min = bb_min.reshape(c2, SUPER, 3).min(axis=1)
     s_max = bb_max.reshape(c2, SUPER, 3).max(axis=1)
 
+    # --- Row-sweep (VPU-form) lin tables --------------------------------
+    # Lin clusters are fixed LIN_SIZE-face contiguous runs of the same
+    # leaf-order face array. Each supercluster covers exactly
+    # lps = SUPER*size/LIN_SIZE of them, so the cull stage's supercluster
+    # ordering serves both kernel families; the lin count is padded to a
+    # multiple of lps (padding blocks are all-zero -> det 0 -> never valid,
+    # with inverted AABBs the frustum test rejects).
+    lps = max(1, (SUPER * size) // LIN_SIZE)
+    cl = -(-max(1, -(-nf // LIN_SIZE)) // lps) * lps
+    pad_l = cl * LIN_SIZE - nf
+    if pad_l:
+        z = np.zeros((pad_l, 3), dtype=np.float32)
+        v0l, e1l, e2l = (np.concatenate([a, z]) for a in (v0, e1, e2))
+    else:
+        v0l, e1l, e2l = v0, e1, e2
+    ml = np.cross(e2l, e1l)
+    kml = np.einsum("fi,fi->f", v0l, ml)
+    wl = np.cross(e2l, v0l)
+    ql = np.cross(v0l, e1l)
+    lin = np.zeros((cl, LIN_ROWS, LIN_SIZE), dtype=np.float32)
+
+    def putl(row, vals):
+        lin[:, row, :] = vals.reshape(cl, LIN_SIZE)
+
+    for ax in range(3):
+        putl(0 + ax, ml[:, ax])
+        putl(4 + ax, wl[:, ax])
+        putl(7 + ax, ql[:, ax])
+        putl(10 + ax, e1l[:, ax])
+        putl(13 + ax, e2l[:, ax])
+    putl(3, kml)
+
+    lbb_min = np.full((cl, 3), np.inf, dtype=np.float32)
+    lbb_max = np.full((cl, 3), -np.inf, dtype=np.float32)
+    for i in range(cl):
+        lo, hi = i * LIN_SIZE, min((i + 1) * LIN_SIZE, nf)
+        if hi > lo:
+            lbb_min[i] = f_min[lo:hi].min(axis=0)
+            lbb_max[i] = f_max[lo:hi].max(axis=0)
+
     scene_min = f_min.min(axis=0).astype(np.float32)
     scene_max = f_max.max(axis=0).astype(np.float32)
+    # Both cluster families tile the same supercluster grid exactly
+    # (ceil(ceil(n/a)/b) == ceil(n/(a*b))).
+    assert cl == c2 * lps, (cl, c2, lps)
     return ClusterSet(
         bb_min=Vec3(*(bb_min[:, i].copy() for i in range(3))),
         bb_max=Vec3(*(bb_max[:, i].copy() for i in range(3))),
@@ -152,4 +205,7 @@ def build_clusters(
         scene_max=Vec3(*(scene_max[i] for i in range(3))),
         sup_min=Vec3(*(s_min[:, i].copy() for i in range(3))),
         sup_max=Vec3(*(s_max[:, i].copy() for i in range(3))),
+        lin=lin,
+        lbb_min=Vec3(*(lbb_min[:, i].copy() for i in range(3))),
+        lbb_max=Vec3(*(lbb_max[:, i].copy() for i in range(3))),
     )

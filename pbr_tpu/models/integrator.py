@@ -73,6 +73,12 @@ class TraceResult(NamedTuple):
     n_shadow_rays: object = None  # () total NEE shadow rays traced
     heat_bounces: object = None  # (B,) per-pixel live-bounce count (debug heatmap)
     n_dropped: object = None  # () lanes terminated by compaction-capacity overflow
+    bounce_row_live: object = None  # (max_total_depth,) live-ROW fraction at
+    # the start of each bounce (at compact_block granularity, normalized by
+    # the full-width row count) — the occupancy signal the auto compaction
+    # schedule derives caps from (models/pathtracer.py::probe_compact_schedule)
+    heat_tests: object = None  # (B,) per-pixel ray-face intersection tests
+    # (the reference's debug counter, pt_bvh.cl:23 -> pathtracing.cl:73-78)
 
 
 def _where(xp, m, a, b):
@@ -332,6 +338,7 @@ def trace_rays(
     n_path = xp.sum(xp.zeros_like(base)).astype(xp.int32) if with_stats else None
     n_shadow = xp.sum(xp.zeros_like(base)).astype(xp.int32) if with_stats else None
     heat = xp.zeros_like(base, dtype=xp.int32) if with_stats else None
+    heat_tests = xp.zeros_like(base, dtype=xp.int32) if with_stats else None
 
     mats = scene.materials
     lights = scene.lights
@@ -369,8 +376,16 @@ def trace_rays(
         if prev_kb < kb < settings.max_total_depth and 0 < cap < prev_cap:
             schedule.append((kb, cap))
             prev_cap, prev_kb = cap, kb
+    # Dropped-lane counter: ALWAYS computed when a compaction schedule is
+    # active (not just under with_stats) — capacity overflow silently
+    # biases renders (round-3 hit this on suzanne, commit 773e0b4), so the
+    # caller must be able to warn without opting into the heavy stats. The
+    # count is two tiny reductions per stage, invisible in the profile.
     n_drop_total = (
-        xp.sum(xp.zeros_like(base)).astype(xp.int32) if (with_stats and schedule) else None
+        xp.sum(xp.zeros_like(base)).astype(xp.int32) if schedule else None
+    )
+    row_frac = (
+        xp.zeros((settings.max_total_depth,), xp.float32) if with_stats else None
     )
 
     def sample_body(s, sample_state):
@@ -381,9 +396,10 @@ def trace_rays(
         either way, so numerics are identical (the reference's SAMPLES
         loop was likewise one device-side loop, pathtracing.cl:251).
         """
-        final_color, secondary, focus_t, n_path, n_shadow, heat, n_drop_total = (
-            sample_state
-        )
+        (
+            final_color, secondary, focus_t, n_path, n_shadow, heat,
+            heat_tests, row_frac, n_drop_total,
+        ) = sample_state
         is_s0 = s == 0  # sample 0 owns the DoF focus channel
         o, d = _gen_rays(xp, cam, settings, px, py, rng, s, prev_t)
         color = Vec3(xp.full_like(base, 1.0), xp.full_like(base, 1.0), xp.full_like(base, 1.0))
@@ -399,12 +415,21 @@ def trace_rays(
             (
                 o, d, color, alive, light_found, light_val, depth_added,
                 final_color, secondary, focus_t, n_path, n_shadow, heat,
+                heat_tests, row_frac,
             ) = carry
             if with_stats:
                 n_path = n_path + xp.sum(alive.astype(xp.int32))
                 heat = heat + alive.astype(xp.int32)
+                # Row occupancy at the production compaction granularity,
+                # normalized by the FULL-width row count (stage-invariant).
+                rl = xp.any(alive.reshape(-1, block), axis=1)
+                frac = xp.sum(rl.astype(xp.float32)) / F32(rows_total)
+                row_frac = row_frac + (
+                    xp.arange(settings.max_total_depth, dtype=xp.int32) == depth
+                ).astype(xp.float32) * frac
             # ---- intersect -------------------------------------------------
             occ_fused = None  # NEE occlusion fused into the intersect kernel
+            isect_counts = None  # per-ray test counts (stats heatmap)
             if settings.phong_tessellation > 0.0:
                 # Curved patches trace through the BVH when the scene has
                 # one (leaf AABBs inflated at build time — scene.build
@@ -418,16 +443,30 @@ def trace_rays(
             else:
                 if nee_enabled:
                     l0 = Vec3(lights.pos.x[0], lights.pos.y[0], lights.pos.z[0])
-                    t, face, occ_fused = intersect_scene(
+                    out = intersect_scene(
                         xp, o, d, scene, max_leaf=max_leaf,
                         mode=settings.intersector, light_pos=l0, alive=alive,
+                        with_counts=with_stats,
                     )
+                    if with_stats:
+                        t, face, occ_fused, isect_counts = out
+                    else:
+                        t, face, occ_fused = out
                 else:
-                    t, face = intersect_scene(
+                    out = intersect_scene(
                         xp, o, d, scene, max_leaf=max_leaf,
                         mode=settings.intersector, alive=alive,
+                        with_counts=with_stats,
                     )
+                    if with_stats:
+                        t, face, isect_counts = out
+                    else:
+                        t, face = out
                 pt_u = pt_v = None
+            if with_stats and isect_counts is not None:
+                heat_tests = heat_tests + xp.where(
+                    alive, isect_counts, np.int32(0)
+                )
             if xp.__name__.startswith("jax") and settings.remat == "save_isect":
                 # Mark the intersect outputs as the ONLY residuals worth
                 # saving across the forward/backward boundary (see
@@ -688,6 +727,7 @@ def trace_rays(
             return (
                 o, d, color, alive, light_found, light_val, depth_added,
                 final_color, secondary, focus_t, n_path, n_shadow, heat,
+                heat_tests, row_frac,
             )
 
         # Stage 0 = the full batch with the real accumulators; each
@@ -699,9 +739,10 @@ def trace_rays(
         carry = (
             o, d, color, alive, light_found, light_val, depth_added,
             final_color, secondary, focus_t, n_path, n_shadow, heat,
+            heat_tests, row_frac,
         )
         stage_px, stage_rng, stage_zero3 = px, rng, zero3
-        folds = []  # per ended stage: (slot, cap, fc, sec, heat, zero3)
+        folds = []  # per ended stage: (slot, cap, fc, sec, heat, tests, zero3)
         lo = 0
         for kb, cap in schedule:
             body = functools.partial(bounce_body, stage_px, stage_rng, stage_zero3)
@@ -709,14 +750,14 @@ def trace_rays(
             (
                 o, d, color, alive, light_found, light_val, depth_added,
                 fc_s, sec_s, foc_s, n_path, n_shadow, heat_s,
+                tests_s, row_frac,
             ) = carry
             fc_s = fc_s + where3(light_found, color * light_val, stage_zero3)
             if lo == 0:
                 focus_t = foc_s  # only the full-width stage touches focus
             src, slot, n_ok, n_drop = _compact_rows(xp, alive, block, cap)
-            if with_stats:
-                n_drop_total = n_drop_total + n_drop
-            folds.append((slot, cap, fc_s, sec_s, heat_s, stage_zero3))
+            n_drop_total = n_drop_total + n_drop
+            folds.append((slot, cap, fc_s, sec_s, heat_s, tests_s, stage_zero3))
             tr = lambda v: _take_rows(xp, v, src, block)  # noqa: E731
             g3 = lambda v: Vec3(tr(v.x), tr(v.y), tr(v.z))  # noqa: E731
             stage_px = tr(stage_px)
@@ -735,19 +776,23 @@ def trace_rays(
                 stage_zero3, xp.zeros_like(stage_px, dtype=xp.int32),
                 xp.zeros_like(stage_px), n_path, n_shadow,
                 xp.zeros_like(stage_px, dtype=xp.int32) if with_stats else None,
+                xp.zeros_like(stage_px, dtype=xp.int32) if with_stats else None,
+                row_frac,
             )
             lo = kb
         body = functools.partial(bounce_body, stage_px, stage_rng, stage_zero3)
         carry = _run_phase(xp, settings, body, carry, lo, settings.max_total_depth)
         (
             _, _, color, _, light_found, light_val, _,
-            fc_s, sec_s, foc_s, n_path, n_shadow, heat_s,
+            fc_s, sec_s, foc_s, n_path, n_shadow, heat_s, tests_s, row_frac,
         ) = carry
         fc_s = fc_s + where3(light_found, color * light_val, stage_zero3)
         if not schedule:
             focus_t = foc_s
         # Fold contributions back out through the stage row mappings.
-        for slot, cap, fc_prev, sec_prev, heat_prev, zero3_prev in reversed(folds):
+        for slot, cap, fc_prev, sec_prev, heat_prev, tests_prev, zero3_prev in (
+            reversed(folds)
+        ):
             ok_row = slot < cap  # (R,) rows of the outer stage
             sc = xp.minimum(slot, cap - 1)
             tk = lambda v: _take_rows(xp, v, sc, block)  # noqa: E731
@@ -760,10 +805,15 @@ def trace_rays(
             sec_s = sec_prev + xp.where(ok_lane, tk(sec_s), np.int32(0))
             if with_stats:
                 heat_s = heat_prev + xp.where(ok_lane, tk(heat_s), np.int32(0))
-        return (fc_s, sec_s, focus_t, n_path, n_shadow, heat_s, n_drop_total)
+                tests_s = tests_prev + xp.where(ok_lane, tk(tests_s), np.int32(0))
+        return (
+            fc_s, sec_s, focus_t, n_path, n_shadow, heat_s, tests_s,
+            row_frac, n_drop_total,
+        )
 
     sample_state = (
-        final_color, secondary, focus_t, n_path, n_shadow, heat, n_drop_total
+        final_color, secondary, focus_t, n_path, n_shadow, heat,
+        heat_tests, row_frac, n_drop_total,
     )
     use_scan = (
         xp.__name__.startswith("jax")
@@ -781,13 +831,16 @@ def trace_rays(
     else:
         for s in range(settings.samples):
             sample_state = sample_body(s, sample_state)
-    final_color, secondary, focus_t, n_path, n_shadow, heat, n_drop_total = (
-        sample_state
-    )
+    (
+        final_color, secondary, focus_t, n_path, n_shadow, heat,
+        heat_tests, row_frac, n_drop_total,
+    ) = sample_state
 
     final_color = final_color / secondary.astype(xp.float32)
     if settings.samples > 1:
         final_color = final_color / F32(settings.samples)
+    if row_frac is not None and settings.samples > 1:
+        row_frac = row_frac / F32(settings.samples)
     return TraceResult(
         color=final_color,
         focus_t=focus_t,
@@ -795,4 +848,6 @@ def trace_rays(
         n_shadow_rays=n_shadow,
         heat_bounces=heat,
         n_dropped=n_drop_total,
+        bounce_row_live=row_frac,
+        heat_tests=heat_tests,
     )

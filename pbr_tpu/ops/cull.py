@@ -249,6 +249,101 @@ def candidates_fine(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=Non
     return cand, counts, tent
 
 
+def _row_minmax_v(xp, o: Vec3, d: Vec3, rg: int):
+    ox = _tile_minmax(xp, o.x, rg)
+    oy = _tile_minmax(xp, o.y, rg)
+    oz = _tile_minmax(xp, o.z, rg)
+    dx = _tile_minmax(xp, d.x, rg)
+    dy = _tile_minmax(xp, d.y, rg)
+    dz = _tile_minmax(xp, d.z, rg)
+    return (
+        Vec3(ox[0], oy[0], oz[0]), Vec3(ox[1], oy[1], oz[1]),
+        Vec3(dx[0], dy[0], dz[0]), Vec3(dx[1], dy[1], dz[1]),
+    )
+
+
+def candidates_rows(
+    xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, groups: int, t_cap=None
+):
+    """Row-culled candidate lists for the row-sweep kernel
+    (ops/pallas_sweep.py): per-TILE near-to-far lists at LIN-cluster
+    granularity, with per-ROW (tile/groups rays) frustum verdict bits
+    packed into bits 16..16+groups of each entry — the per-sublane-row
+    culling that kills the tile-union over-collection (a 32-ray row's
+    frustum is far tighter than a 256-ray tile's on bounce populations).
+
+    ``t_cap``: optional (T*groups,) per-ROW conservative upper bound on
+    useful t. Returns ``(cand, counts, tent)`` with the ``candidates``
+    contract; entries whose row mask is 0 are skipped by the kernel with
+    one scalar read.
+    """
+    rg = tile // groups
+    cl = cset.lin.shape[0]
+    c2 = cset.sup_min.x.shape[0]
+    lps = cl // c2
+    o_lo, o_hi, d_lo, d_hi = _row_minmax_v(xp, o, d, rg)
+    hit8s, te8s = frustum_hits(
+        xp, o_lo, o_hi, d_lo, d_hi, cset.sup_min, cset.sup_max, t_cap
+    )  # (T8, C2)
+    t = hit8s.shape[0] // groups
+    hit_s = xp.any(hit8s.reshape(t, groups, c2), axis=1)  # (T, C2)
+    te_s = xp.min(
+        xp.where(hit8s, te8s, _BIG).reshape(t, groups, c2), axis=1
+    )  # (T, C2) — min over hitting rows: a sound per-tile entry bound
+    counts2 = xp.sum(hit_s.astype(xp.int32), axis=1)
+    key = xp.where(hit_s, te_s, _BIG)
+    order = xp.argsort(key, axis=1).astype(xp.int32)
+    j2 = xp.arange(c2, dtype=xp.int32)[None, :]
+    take = xp.minimum(j2, xp.maximum(counts2[:, None] - 1, 0))
+    sup = xp.take_along_axis(order, take, axis=1)  # (T, C2)
+    tent2 = xp.where(
+        j2 < counts2[:, None], xp.take_along_axis(te_s, sup, axis=1), _BIG
+    )
+    fine_off = xp.arange(lps, dtype=xp.int32)[None, None, :]
+    cand = (sup[:, :, None] * np.int32(lps) + fine_off).reshape(-1, cl)
+    tent = xp.broadcast_to(tent2[:, :, None], tent2.shape + (lps,)).reshape(-1, cl)
+    counts = counts2 * np.int32(lps)
+    # Per-row verdicts at lin granularity, packed as bits 16..16+groups.
+    hit8l, _ = frustum_hits(
+        xp, o_lo, o_hi, d_lo, d_hi, cset.lbb_min, cset.lbb_max, t_cap
+    )  # (T8, CL)
+    hit8l = hit8l.reshape(t, groups, cl)
+    bits = xp.take_along_axis(
+        hit8l, xp.broadcast_to(cand[:, None, :], (t, groups, cl)), axis=2
+    ).astype(xp.int32)  # (T, groups, CL)
+    mask = xp.sum(
+        bits << xp.arange(groups, dtype=xp.int32)[None, :, None], axis=1,
+        dtype=xp.int32,
+    )
+    return cand | (mask << 16), counts, tent
+
+
+def row_hit_words(
+    xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, groups: int, t_cap=None
+):
+    """(T, W) int32 packed per-row lin-cluster verdicts for the masked
+    row-sweep kernel: cluster ``c`` row ``g`` lives in word ``c // 2`` at
+    bit ``(c % 2) * 8 + g`` (two clusters per word keeps the sign bit
+    clear — SMEM int32 is sign-safe)."""
+    rg = tile // groups
+    cl = cset.lin.shape[0]
+    o_lo, o_hi, d_lo, d_hi = _row_minmax_v(xp, o, d, rg)
+    hit8, _ = frustum_hits(
+        xp, o_lo, o_hi, d_lo, d_hi, cset.lbb_min, cset.lbb_max, t_cap
+    )  # (T8, CL)
+    t = hit8.shape[0] // groups
+    bits = hit8.reshape(t, groups, cl).astype(xp.int32)
+    bits = bits << xp.arange(groups, dtype=xp.int32)[None, :, None]
+    per_c = xp.sum(bits, axis=1, dtype=xp.int32)  # (T, CL) 8-bit masks
+    if cl % 2:
+        per_c = xp.concatenate(
+            [per_c, xp.zeros((t, 1), dtype=xp.int32)], axis=1
+        )
+    w = per_c.shape[1] // 2
+    pc = per_c.reshape(t, w, 2)
+    return pc[:, :, 0] | (pc[:, :, 1] << 8)
+
+
 def fine_hit_mask(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
     """(T, C) fine-cluster frustum verdicts (no ordering, no lists) — the
     masked-sweep kernel's input: it visits clusters in static ascending

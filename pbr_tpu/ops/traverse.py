@@ -310,7 +310,7 @@ def _stop_grad3(xp, v: Vec3) -> Vec3:
 
 def intersect_scene(
     xp, o: Vec3, d: Vec3, scene, max_leaf: int = 2, mode: str = "auto",
-    light_pos=None, alive=None,
+    light_pos=None, alive=None, with_counts: bool = False,
 ):
     """Nearest-hit dispatch (the analog of the reference's ACCEL_STRUCT
     kernel specialization, pathtracing.cl:217-219).
@@ -338,10 +338,17 @@ def intersect_scene(
     ``alive``: optional per-ray liveness mask. The cull-and-sweep mode
     uses it to close dead lanes out of the sweep (they cost nothing and
     cannot block a tile's occlusion early-out); other modes ignore it.
+
+    ``with_counts``: additionally return a per-ray int32 of ray-face
+    intersection tests (the reference's per-ray debug counter,
+    pt_bvh.cl:23) as the LAST tuple element. Exact per-row counts on the
+    'sweep' path; full-sweep constants (F, or 2F with fused NEE) for the
+    brute family; None where unsupported (tree walks).
     """
     o_s = _stop_grad3(xp, o)
     d_s = _stop_grad3(xp, d)
     occ = None
+    counts = None
     if mode == "auto":
         on_tpu = False
         if _is_jax(xp):
@@ -420,6 +427,51 @@ def intersect_scene(
                 xp, o_s, d_s, scene.forest, scene.bvh,
                 max_leaf=FOREST_MAX_LEAF,
             )
+    elif mode == "sweep":
+        from pbr_tpu.ops.pallas_sweep import intersect_sweep
+
+        if scene.clusters is None or scene.clusters.lin is None:
+            raise ValueError(
+                "mode='sweep' needs a scene whose clusters carry row-sweep "
+                "lin tables; rebuild via scene/build.py (build_scene "
+                "attaches them) or accel.clusters.build_clusters."
+            )
+        interp = False
+        if _is_jax(xp):
+            import jax
+
+            interp = jax.default_backend() != "tpu"
+        out = intersect_sweep(
+            xp, o_s, d_s, scene.clusters, light_pos=light_pos,
+            alive=alive, interpret=interp, with_counts=with_counts,
+        )
+        if light_pos is not None:
+            occ = out[2]
+        if with_counts:
+            counts = out[-1]
+        face = out[1]
+    elif mode == "gated":
+        from pbr_tpu.ops.pallas_gated import intersect_gated
+
+        if scene.clusters is None:
+            raise ValueError(
+                "mode='gated' needs a scene with clusters (the fine AABBs "
+                "are the gate targets); rebuild via scene/build.py."
+            )
+        interp = False
+        if _is_jax(xp):
+            import jax
+
+            interp = jax.default_backend() != "tpu"
+        out = intersect_gated(
+            xp, o_s, d_s, scene.tris, scene.clusters, light_pos=light_pos,
+            alive=alive, interpret=interp, with_counts=with_counts,
+        )
+        if light_pos is not None:
+            occ = out[2]
+        if with_counts:
+            counts = out[-1]
+        face = out[1]
     elif mode == "cull":
         from pbr_tpu.ops.pallas_cull import intersect_cull
 
@@ -487,6 +539,14 @@ def intersect_scene(
     e2 = gather_vec3(tris_s.e2, safe)
     t_re, _ = moller_trumbore(xp, o, d, v0, e1, e2)
     t = xp.where(face >= 0, t_re, INF)
+    if with_counts and counts is None and mode in ("brute", "pallas", "gemm"):
+        # Full-sweep intersectors test every face; the fused NEE leg
+        # sweeps them again for the shadow ray.
+        nf = np.int32(scene.tris.count * (2 if occ is not None else 1))
+        counts = xp.full_like(face, nf)
+    out = [t, face]
     if light_pos is not None:
-        return t, face, occ  # occ is None unless a fused mode produced it
-    return t, face
+        out.append(occ)  # occ is None unless a fused mode produced it
+    if with_counts:
+        out.append(counts)
+    return tuple(out)

@@ -185,7 +185,15 @@ class ClusterSet(NamedTuple):
       for the coherence sort, independent of any BVH);
     - ``sup_min``/``sup_max``: (C/SUPER,) supercluster AABBs — the cull
       stage tests and near-to-far-orders only these (the full (T, C)
-      argsort was the measured cost center at 100k faces).
+      argsort was the measured cost center at 100k faces);
+    - ``lin``: (CL, 16, LIN_SIZE) f32 row-sweep coefficient blocks
+      (ops/pallas_sweep.py): the VPU-form variant's tables — faces along
+      lanes, the 16 hoisted linear-form constants along sublanes. Lin
+      clusters are fixed 128-face contiguous runs (independent of the fine
+      ``size``), padded so each supercluster covers exactly
+      ``SUPER*size/128`` of them;
+    - ``lbb_min``/``lbb_max``: (CL,) lin-cluster AABBs (the row-granular
+      frustum verdict targets).
     """
 
     bb_min: Vec3
@@ -195,6 +203,9 @@ class ClusterSet(NamedTuple):
     scene_max: Vec3
     sup_min: Vec3
     sup_max: Vec3
+    lin: object = None  # (CL, 16, LIN_SIZE) f32
+    lbb_min: Optional[Vec3] = None
+    lbb_max: Optional[Vec3] = None
 
     @property
     def count(self) -> int:

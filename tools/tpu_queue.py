@@ -703,8 +703,91 @@ def step_cull():
                 )
 
 
+def step_sweep():
+    """Row-sweep (ops/pallas_sweep.py) vs brute and the matmul cull:
+    rays/s at several scene sizes, coherent camera rays AND adversarial
+    random rays. The round-4 headline measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.accel.clusters import build_clusters
+    from pbr_tpu.ops.pallas_cull import intersect_cull
+    from pbr_tpu.ops.pallas_intersect import intersect_pallas
+    from pbr_tpu.ops.pallas_sweep import intersect_sweep
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    n_rays = 1 << 20
+    import os
+
+    from pbr_tpu.io.loader import load_model
+    from pbr_tpu.utils.config import RenderSettings
+
+    for tag in ("suzanne", "4000", "10000", "100000"):
+        if tag == "suzanne":
+            ref = "/root/reference/resources/models/testing/suzanne.obj"
+            if not os.path.isfile(ref):
+                continue
+            scene, _, _ = load_model(ref, RenderSettings(shadow_rays=1))
+        else:
+            scene, _ = scene_from_text(random_soup(int(tag), seed=7), use_bvh=True)
+        jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+        nf = int(jscene.tris.mtl.shape[0])
+        csize = 128 if nf > 50_000 else 64
+        cset = jax.tree_util.tree_map(
+            jnp.asarray, build_clusters(scene.tris, size=csize)
+        )
+        for ray_kind in ("coh", "rnd"):
+            if ray_kind == "coh":
+                o, d = _camera_rays(
+                    1024, eye=(0.0, 1.0, 3.0) if tag == "suzanne" else (0.0, 0.0, 3.5)
+                )
+            else:
+                o, d = _rays(n_rays, lo=-1.2, hi=1.2)
+            rows = []
+            if nf <= 10000:
+                try:
+                    dt = _time_fn(
+                        jax.jit(lambda o, d: intersect_pallas(jnp, o, d, jscene.tris)),
+                        o, d,
+                    )
+                    rows.append(("brute", dt))
+                except Exception as e:
+                    log(f"  brute failed: {type(e).__name__}: {e}")
+            try:
+                dt = _time_fn(
+                    jax.jit(
+                        lambda o, d: intersect_cull(jnp, o, d, cset, tile=256)
+                    ),
+                    o, d,
+                )
+                rows.append(("cull(old)", dt))
+            except Exception as e:
+                log(f"  cull failed: {type(e).__name__}: {e}")
+            for tile, sort in ((256, None), (256, True), (512, None)):
+                name = f"sweep t{tile} sort={sort}"
+                try:
+                    dt = _time_fn(
+                        jax.jit(
+                            lambda o, d, tile=tile, sort=sort: intersect_sweep(
+                                jnp, o, d, cset, tile=tile, sort=sort
+                            )
+                        ),
+                        o, d,
+                    )
+                    rows.append((name, dt))
+                except Exception as e:
+                    log(f"  {name} failed: {type(e).__name__}: {e}")
+            for name, dt in rows:
+                log(
+                    f"sweep {tag:7s} ({nf:6d} tris) {ray_kind} {name:22s} "
+                    f"{dt * 1e3:9.2f} ms  {n_rays / dt / 1e6:8.1f} M rays/s"
+                )
+
+
 STEPS = {
     "probe": step_probe,
+    "sweep": step_sweep,
     "forest_tiny": step_forest_tiny,
     "forest100k": step_forest100k,
     "forest_frame": step_forest_frame,
