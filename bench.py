@@ -51,7 +51,7 @@ def main() -> None:
         default=None,
         choices=[
             "brute", "gemm", "pallas", "bvh", "pallas_bvh",
-            "pallas_bvh_forest", "pallas_bvh_hbm", "cull",
+            "pallas_bvh_forest", "pallas_bvh_hbm", "cull", "sweep", "gated",
         ],
         help="override the intersector dispatch (default: auto)",
     )

@@ -333,6 +333,8 @@ def cmd_view(args) -> None:
         draw=not args.no_draw,
         target_fps=args.fps,
     )
+    if getattr(args, "startup_json", None):
+        viewer.write_startup_breakdown(args.startup_json)
 
 
 def main(argv=None) -> None:
@@ -380,6 +382,8 @@ def main(argv=None) -> None:
     v.add_argument("--no-draw", action="store_true", dest="no_draw")
     v.add_argument("--eye", default=None, help="camera eye 'x,y,z' (overrides config)")
     v.add_argument("--center", default=None, help="camera view direction 'x,y,z'")
+    v.add_argument("--startup-json", default=None, dest="startup_json",
+                   help="write the startup-stage wall-time breakdown JSON")
     v.set_defaults(fn=cmd_view)
 
     f = sub.add_parser("fit", help="inverse-rendering demo")

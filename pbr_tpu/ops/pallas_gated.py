@@ -83,18 +83,18 @@ def _kernel(n_clusters, rows, any_hit,
     from jax.experimental import pallas as pl
 
     t = pl.program_id(0)
-    ox = ox_ref[...]
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    dx = dx_ref[...]
-    dy = dy_ref[...]
-    dz = dz_ref[...]
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
     cx = oy * dz - oz * dy
     cy = oz * dx - ox * dz
     cz = ox * dy - oy * dx
-    t_s[...] = tin_ref[...]
+    t_s[...] = tin_ref[0]
     if not any_hit:
-        f_s[...] = fin_ref[...]
+        f_s[...] = fin_ref[0]
 
     def tab(k, f):
         return tab_ref[k, f]
@@ -106,7 +106,7 @@ def _kernel(n_clusters, rows, any_hit,
         def _():
             t_best = t_s[...]
             if any_hit:
-                t_lim = fin_ref[...]
+                t_lim = fin_ref[0]
                 occ = t_best
                 for j in range(GATE_CLUSTER):
                     f = c * GATE_CLUSTER + j
@@ -133,8 +133,8 @@ def _kernel(n_clusters, rows, any_hit,
         return carry
 
     jax.lax.fori_loop(0, n_clusters, body, 0, unroll=False)
-    t_ref[...] = t_s[...]
-    f_ref[...] = f_s[...] if not any_hit else fin_ref[...].astype(jnp.int32)
+    t_ref[0] = t_s[...]
+    f_ref[0] = f_s[...] if not any_hit else fin_ref[0].astype(jnp.int32)
 
 
 def _vma_of(x):
@@ -160,12 +160,14 @@ def _build_call(n_clusters: int, rows: int, n_tiles: int, any_hit: bool,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]  # (16, F) table
         + [
-            pl.BlockSpec((rows, _LANES), lambda t, w: (t, 0))
+            # 3D (T, rows, 128) layout: a (1, rows, 128) block is legal for
+            # any sublane count (trailing dims equal the array dims).
+            pl.BlockSpec((1, rows, _LANES), lambda t, w: (t, 0, 0))
             for _ in range(8)  # o.xyz d.xyz tin fin
         ],
         out_specs=(
-            pl.BlockSpec((rows, _LANES), lambda t, w: (t, 0)),
-            pl.BlockSpec((rows, _LANES), lambda t, w: (t, 0)),
+            pl.BlockSpec((1, rows, _LANES), lambda t, w: (t, 0, 0)),
+            pl.BlockSpec((1, rows, _LANES), lambda t, w: (t, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((rows, _LANES), jnp.float32),
@@ -173,13 +175,12 @@ def _build_call(n_clusters: int, rows: int, n_tiles: int, any_hit: bool,
         ],
     )
     kw = {"vma": frozenset(vma)} if vma else {}
-    total_rows = n_tiles * rows
     return pl.pallas_call(
         functools.partial(_kernel, n_clusters, rows, any_hit),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((total_rows, _LANES), jnp.float32, **kw),
-            jax.ShapeDtypeStruct((total_rows, _LANES), jnp.int32, **kw),
+            jax.ShapeDtypeStruct((n_tiles, rows, _LANES), jnp.float32, **kw),
+            jax.ShapeDtypeStruct((n_tiles, rows, _LANES), jnp.int32, **kw),
         ),
         interpret=interpret,
     )
@@ -265,7 +266,7 @@ def intersect_gated(
         lpz = jax.lax.stop_gradient(jnp.asarray(light_pos.z, jnp.float32))
 
     def shape2(a):
-        return a.reshape(-1, _LANES)
+        return a.reshape(-1, rows, _LANES)
 
     def run_pass(ov, dv, seed_t, seed_f, any_hit, t_cap):
         hit = fine_hit_mask(jnp, ov, dv, cset, tile, t_cap=t_cap)  # (T, C)

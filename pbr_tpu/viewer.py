@@ -133,6 +133,7 @@ class Viewer:
         out=None,
         draft_startup: bool = False,
     ):
+        t_ctor0 = time.perf_counter()
         from pbr_tpu.models.pathtracer import PathTracer
 
         # Draft-then-refine startup (first-frame latency, docs/PERF.md):
@@ -178,6 +179,14 @@ class Viewer:
         self.focus_py = settings.height // 2
         self.frame = 0
         self.quit = False
+        # Live overlay toggles — the reference's View-menu runtime toggles
+        # (Window.cpp:69-106) as viewer keys 'b' (BVH leaves) / 'n'
+        # (light boxes), drawn over the displayed frame each redraw.
+        self.show_bvh = False
+        self.show_lights = False
+        # Startup breakdown artifact (VERDICT r3 item 8): stage wall times
+        # of the path to the first visible frame.
+        self.startup = {"init_s": round(time.perf_counter() - t_ctor0, 3)}
 
     # ---- state hooks ----------------------------------------------------
     def _on_camera_update(self) -> None:
@@ -202,6 +211,14 @@ class Viewer:
             return
         if self.move_light and key in "wasdqe":
             self._move_light(key)
+            return
+        if key == "b":
+            self.show_bvh = not self.show_bvh
+            Logger.info(f"[viewer] BVH overlay: {int(self.show_bvh)}")
+            return
+        if key == "n":
+            self.show_lights = not self.show_lights
+            Logger.info(f"[viewer] Lights overlay: {int(self.show_lights)}")
             return
         if key == "P":
             self.pick_mode = not self.pick_mode
@@ -307,7 +324,15 @@ class Viewer:
             self._refine_wanted = False
             self._start_refine()
         self._maybe_swap_refined()
+        first = self.frame == 0
+        if first:
+            t0 = time.perf_counter()
         self.tracer.render(self.camera.state(focus=self.focus), frame_seed=self.frame)
+        if first:
+            # Force completion so the number is compile+execute, not
+            # dispatch: the first frame IS the compile on a cold cache.
+            self.tracer.image()
+            self.startup["first_frame_s"] = round(time.perf_counter() - t0, 3)
         self.frame += 1
 
     def draw(self) -> None:
@@ -320,9 +345,33 @@ class Viewer:
         w.write(ansi_halfblocks(small.astype(np.uint8)))
         w.write("\n" + self.status_line() + "\n")
         w.flush()
+        if "first_draw_s" not in self.startup:
+            self.startup["first_draw_s"] = round(
+                time.perf_counter() - self._t_run0, 3
+            ) if hasattr(self, "_t_run0") else None
 
     def tonemapped(self) -> np.ndarray:
-        return tonemap_u8(self.tracer.image(), self.exposure)
+        img = self.tracer.image()
+        if self.show_bvh or self.show_lights:
+            from pbr_tpu.accel.visualize import overlay_bvh, overlay_lights
+
+            cam = self.camera.state(focus=self.focus)
+            scene = self.tracer.scene
+            if self.show_bvh and scene.bvh is not None:
+                img = overlay_bvh(img, scene, cam)
+            if self.show_lights and scene.lights.count:
+                img = overlay_lights(img, scene, cam)
+        return tonemap_u8(img, self.exposure)
+
+    def write_startup_breakdown(self, path: str) -> None:
+        """Persist the startup-stage wall times (init / first compiled
+        frame / first draw) as a JSON artifact — the evidence trail for
+        the <5 s warm-first-frame bar (VERDICT r3 item 8)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.startup, f, indent=1, sort_keys=True)
+        Logger.info(f"[viewer] startup breakdown -> {path}: {self.startup}")
 
     def status_line(self) -> str:
         """The status-bar line (GLWidget::showFPS, GLWidget.cpp:791-815)."""
@@ -347,6 +396,7 @@ class Viewer:
         GLWidget.cpp:30-34,833-840). ``keys``: scripted key string consumed
         one per frame (tests/CI); otherwise reads the tty when available."""
         scripted = list(keys) if keys is not None else None
+        self._t_run0 = time.perf_counter()
         interval = 1.0 / max(target_fps, 1e-3)
         tty_src = None
         if scripted is None and hasattr(sys.stdin, "isatty") and sys.stdin.isatty():

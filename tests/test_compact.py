@@ -130,3 +130,71 @@ def test_compact_overflow_drops_counted(cornell):
     img, res = _render(np, scene, cam, settings)
     assert np.all(np.isfinite(img))
     assert int(res.n_dropped) > 0
+
+
+def test_overflow_warning_and_golden_gate(cornell):
+    """VERDICT r4 item 5: an overflowing schedule fires the PathTracer
+    warning (without --stats) and the image still matches the full-width
+    render within the golden gate (drops bias only deep-extension lanes)."""
+    import io
+
+    from pbr_tpu.models.pathtracer import PathTracer
+    from pbr_tpu.utils.log import Logger
+
+    scene, cam = cornell
+    base = RenderSettings(
+        width=SIZE, height=SIZE, samples=1, max_depth=3, max_added_depth=5,
+        shadow_rays=1, brdf=BRDF_SCHLICK, sky_light=(0.8, 0.9, 1.0),
+        bounce_loop="scan", sample_loop="scan", compact_block=1,
+    )
+    pt_full = PathTracer(scene, base, donate=False)
+    pt_full.render(cam, frame_seed=3)
+    img_full = pt_full.image()
+
+    # Caps slightly under the true occupancy (46 live rows at bounce 2 on
+    # this scene/seed; cap 0.07*576 = 41) -> a few drops.
+    tight = base.replace(compact_schedule=((2, 0.07),))
+    stream, old = io.StringIO(), Logger.stream
+    Logger.stream = stream
+    try:
+        pt = PathTracer(scene, tight, donate=False)
+        pt.render(cam, frame_seed=3)
+        img = pt.image()
+    finally:
+        Logger.stream = old
+    assert "compaction capacity overflow" in stream.getvalue()
+    # Only a handful of lanes lose their deep bounces: the image stays
+    # within the percentile golden gate used by the device goldens.
+    diff = np.abs(img - img_full)
+    assert np.mean(diff < 1e-3) > 0.95
+    assert np.mean(diff) < 2e-3
+
+
+def test_auto_compact_schedule_probe(cornell):
+    """compact_schedule='auto' derives caps from the occupancy probe; the
+    derived schedule renders with zero drops."""
+    from pbr_tpu.models.pathtracer import PathTracer, probe_compact_schedule
+
+    scene, cam = cornell
+    base = RenderSettings(
+        width=SIZE, height=SIZE, samples=1, max_depth=3, max_added_depth=5,
+        shadow_rays=1, brdf=BRDF_SCHLICK, sky_light=(0.8, 0.9, 1.0),
+        bounce_loop="scan", sample_loop="scan", compact_block=1,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    sched = probe_compact_schedule(jscene, cam, base, max_leaf=2)
+    assert all(0 < f <= 1.0 for _, f in sched)
+    assert [kb for kb, _ in sched] == sorted({kb for kb, _ in sched})
+
+    pt = PathTracer(scene, base.replace(compact_schedule="auto"), donate=False)
+    pt.render(cam, frame_seed=3)
+    assert pt.settings.compact_schedule == sched
+    # The derived caps must not drop lanes on the scene they were probed on.
+    res = trace_rays(
+        np, scene, cam, base.replace(compact_schedule=sched),
+        np.arange(SIZE * SIZE, dtype=np.int32), 3, with_stats=True,
+    )
+    assert res.n_dropped is None or int(res.n_dropped) == 0

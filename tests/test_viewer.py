@@ -169,3 +169,39 @@ def test_draft_then_refine_swaps_tracer():
     v.run(max_frames=v.frame + 2, draw=False)
     assert v.tracer.settings == settings  # production step swapped in
     assert v.tracer.sample_count >= 1
+
+
+def test_overlay_toggle_keys_and_startup_breakdown(tmp_path):
+    """'b'/'n' toggle the BVH/lights overlays on the displayed frame
+    (the reference's View-menu runtime toggles, Window.cpp:69-106), and
+    the startup breakdown artifact records the first-frame stages."""
+    import json
+
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import cornell_box
+    from pbr_tpu.utils.config import RenderSettings
+    from pbr_tpu.viewer import Viewer
+
+    obj, mtl, li = cornell_box()
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=True)
+    settings = RenderSettings(
+        width=32, height=32, samples=1, max_depth=2, max_added_depth=0,
+        shadow_rays=1, sky_light=(0.8, 0.9, 1.0), bounce_loop="scan",
+    )
+    out = io.StringIO()
+    v = Viewer(scene, settings, out=out, term_cols=20, term_rows=10)
+    v.run(max_frames=1, keys="", draw=True)
+    base = v.tonemapped().copy()
+    v.handle_key("b")
+    assert v.show_bvh
+    with_bvh = v.tonemapped()
+    assert (with_bvh != base).any()  # overlay drew something
+    v.handle_key("n")
+    assert v.show_lights
+    v.handle_key("b")
+    assert not v.show_bvh
+
+    p = tmp_path / "startup.json"
+    v.write_startup_breakdown(str(p))
+    d = json.loads(p.read_text())
+    assert d["first_frame_s"] > 0 and d["init_s"] >= 0

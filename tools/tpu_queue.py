@@ -785,9 +785,78 @@ def step_sweep():
                 )
 
 
+def step_gated():
+    """Gated-brute (ops/pallas_gated.py) vs brute: rays/s by scene size
+    and ray population, rows (tile granularity) knob."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.accel.clusters import build_clusters
+    from pbr_tpu.ops.pallas_gated import intersect_gated
+    from pbr_tpu.ops.pallas_intersect import intersect_pallas
+    from pbr_tpu.scene.build import scene_from_text
+    from pbr_tpu.scene.procedural import random_soup
+
+    n_rays = 1 << 20
+    import os
+
+    from pbr_tpu.io.loader import load_model
+    from pbr_tpu.utils.config import RenderSettings
+
+    for tag in ("suzanne", "4000", "10000"):
+        if tag == "suzanne":
+            ref = "/root/reference/resources/models/testing/suzanne.obj"
+            if not os.path.isfile(ref):
+                continue
+            scene, _, _ = load_model(ref, RenderSettings(shadow_rays=1))
+        else:
+            scene, _ = scene_from_text(random_soup(int(tag), seed=7), use_bvh=True)
+        jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+        nf = int(jscene.tris.mtl.shape[0])
+        cset = jax.tree_util.tree_map(
+            jnp.asarray, build_clusters(scene.tris, size=64)
+        )
+        for ray_kind in ("coh", "rnd"):
+            if ray_kind == "coh":
+                o, d = _camera_rays(
+                    1024, eye=(0.0, 1.0, 3.0) if tag == "suzanne" else (0.0, 0.0, 3.5)
+                )
+            else:
+                o, d = _rays(n_rays, lo=-1.2, hi=1.2)
+            rows = []
+            try:
+                dt = _time_fn(
+                    jax.jit(lambda o, d: intersect_pallas(jnp, o, d, jscene.tris)),
+                    o, d,
+                )
+                rows.append(("brute", dt))
+            except Exception as e:
+                log(f"  brute failed: {type(e).__name__}: {e}")
+            for r in (1, 2, 4):
+                name = f"gated rows={r}"
+                try:
+                    dt = _time_fn(
+                        jax.jit(
+                            lambda o, d, r=r: intersect_gated(
+                                jnp, o, d, jscene.tris, cset, rows=r
+                            )
+                        ),
+                        o, d,
+                    )
+                    rows.append((name, dt))
+                except Exception as e:
+                    log(f"  {name} failed: {type(e).__name__}: {e}")
+            for name, dt in rows:
+                log(
+                    f"gated {tag:7s} ({nf:6d} tris) {ray_kind} {name:16s} "
+                    f"{dt * 1e3:9.2f} ms  {n_rays / dt / 1e6:8.1f} M rays/s"
+                )
+
+
 STEPS = {
     "probe": step_probe,
     "sweep": step_sweep,
+    "gated": step_gated,
     "forest_tiny": step_forest_tiny,
     "forest100k": step_forest100k,
     "forest_frame": step_forest_frame,
