@@ -70,14 +70,21 @@ def _mt_lin_update(jnp, tab, f, ox, oy, oz, dx, dy, dz, cx, cy, cz):
     return tt, valid
 
 
-def _kernel(n_clusters, rows, any_hit,
+def _kernel(n_clusters, rows, any_hit, static_unroll,
             words_ref, tab_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tin_ref, fin_ref,
             t_ref, f_ref, t_s, f_s):
     """One ray tile vs all clusters, gated. ``tin``: seed t (-BIG = dead
     lane; any-hit mode: 0/1 occlusion seed with dead/missed lanes pre-set
-    to 1). ``fin``: seed face (nearest) or t_limit (any-hit)."""
+    to 1). ``fin``: seed face (nearest) or t_limit (any-hit).
+
+    ``static_unroll``: python-unroll the cluster loop so every SMEM face
+    read has a STATIC index — the exact instruction mix of the proven
+    brute kernel (measured: the fori variant's dynamic scalar reads cost
+    ~4.7x per test, erasing the culling win). Bounded by program size to
+    ~64 clusters; larger scenes take the fori body.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -99,40 +106,45 @@ def _kernel(n_clusters, rows, any_hit,
     def tab(k, f):
         return tab_ref[k, f]
 
-    def body(c, carry):
-        bit = (words_ref[t, c // 16] >> (c % 16)) & 1
+    def section(c):
+        t_best = t_s[...]
+        if any_hit:
+            t_lim = fin_ref[0]
+            occ = t_best
+            for j in range(GATE_CLUSTER):
+                f = c * GATE_CLUSTER + j
+                tt, valid = _mt_lin_update(
+                    jnp, tab, f, ox, oy, oz, dx, dy, dz, cx, cy, cz
+                )
+                occ = jnp.maximum(
+                    occ, (valid & (tt < t_lim)).astype(jnp.float32)
+                )
+            t_s[...] = occ
+        else:
+            f_best = f_s[...]
+            for j in range(GATE_CLUSTER):
+                f = c * GATE_CLUSTER + j
+                tt, valid = _mt_lin_update(
+                    jnp, tab, f, ox, oy, oz, dx, dy, dz, cx, cy, cz
+                )
+                ok = valid & (tt < t_best)
+                t_best = jnp.where(ok, tt, t_best)
+                f_best = jnp.where(ok, f, f_best)
+            t_s[...] = t_best
+            f_s[...] = f_best
 
-        @pl.when(bit != 0)
-        def _():
-            t_best = t_s[...]
-            if any_hit:
-                t_lim = fin_ref[0]
-                occ = t_best
-                for j in range(GATE_CLUSTER):
-                    f = c * GATE_CLUSTER + j
-                    tt, valid = _mt_lin_update(
-                        jnp, tab, f, ox, oy, oz, dx, dy, dz, cx, cy, cz
-                    )
-                    occ = jnp.maximum(
-                        occ, (valid & (tt < t_lim)).astype(jnp.float32)
-                    )
-                t_s[...] = occ
-            else:
-                f_best = f_s[...]
-                for j in range(GATE_CLUSTER):
-                    f = c * GATE_CLUSTER + j
-                    tt, valid = _mt_lin_update(
-                        jnp, tab, f, ox, oy, oz, dx, dy, dz, cx, cy, cz
-                    )
-                    ok = valid & (tt < t_best)
-                    t_best = jnp.where(ok, tt, t_best)
-                    f_best = jnp.where(ok, f, f_best)
-                t_s[...] = t_best
-                f_s[...] = f_best
+    if static_unroll:
+        for c in range(n_clusters):
+            bit = (words_ref[t, c // 16] >> (c % 16)) & 1
+            pl.when(bit != 0)(lambda c=c: section(c))
+    else:
 
-        return carry
+        def body(c, carry):
+            bit = (words_ref[t, c // 16] >> (c % 16)) & 1
+            pl.when(bit != 0)(lambda: section(c))
+            return carry
 
-    jax.lax.fori_loop(0, n_clusters, body, 0, unroll=False)
+        jax.lax.fori_loop(0, n_clusters, body, 0, unroll=False)
     t_ref[0] = t_s[...]
     f_ref[0] = f_s[...] if not any_hit else fin_ref[0].astype(jnp.int32)
 
@@ -147,8 +159,14 @@ def _vma_of(x):
         return ()
 
 
+# Static-unroll ceiling: 64 clusters x 64 faces x ~50 ops ~ 205k
+# instructions, the known Mosaic comfort zone; fori above.
+STATIC_MAX_CLUSTERS = 64
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(n_clusters: int, rows: int, n_tiles: int, any_hit: bool,
+                static_unroll: bool = True,
                 interpret: bool = False, vma: tuple = ()):
     import jax
     import jax.numpy as jnp
@@ -176,7 +194,7 @@ def _build_call(n_clusters: int, rows: int, n_tiles: int, any_hit: bool,
     )
     kw = {"vma": frozenset(vma)} if vma else {}
     return pl.pallas_call(
-        functools.partial(_kernel, n_clusters, rows, any_hit),
+        functools.partial(_kernel, n_clusters, rows, any_hit, static_unroll),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, rows, _LANES), jnp.float32, **kw),
@@ -204,7 +222,7 @@ def _pack_words(jnp, hit):
 def intersect_gated(
     xp, o, d, tris, cset, light_pos=None, alive=None, rows: int = 2,
     interpret: bool = False, with_counts: bool = False,
-    chunk_rays: int = 262144,
+    chunk_rays: int = 262144, static_unroll=None,
 ):
     """Nearest-hit via the gated-brute sweep (jax + TPU only).
 
@@ -226,9 +244,17 @@ def intersect_gated(
     nf = int(tris.mtl.shape[0])
     size = cset.size
     c = cset.bb_min.x.shape[0]
+    static = (
+        static_unroll if static_unroll is not None
+        else c <= STATIC_MAX_CLUSTERS
+    )
     tile = rows * _LANES
     shape = o.x.shape
     flat = int(np.prod(shape)) if shape else 1
+    # SMEM budget: the prefetched words table is padded per tile, so the
+    # per-chunk TILE count (not ray count) is what must stay bounded
+    # (measured: 2048 tiles OOM'd smem at 1.13M).
+    chunk_rays = min(chunk_rays, 512 * tile)
     chunk = min(
         max(tile, (chunk_rays // tile) * tile),
         -(-flat // tile) * tile,
@@ -277,7 +303,8 @@ def intersect_gated(
                 jnp.sum(hit.astype(jnp.int32), axis=1), tile
             ) * np.int32(size)
         call = _build_call(
-            c, rows, n_tiles, any_hit, interpret=interpret, vma=_vma_of(ov.x)
+            c, rows, n_tiles, any_hit, static_unroll=static,
+            interpret=interpret, vma=_vma_of(ov.x),
         )
         t_out, f_out = call(
             words, tab,

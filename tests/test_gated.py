@@ -1,6 +1,7 @@
 """Gated-brute intersector correctness (ops/pallas_gated.py, interpret)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +34,17 @@ def _rays(n, seed=1):
     )
 
 
-def _check(n_faces, n_rays, rows=1, seed=7, chunk_rays=None):
+def _check(n_faces, n_rays, rows=1, seed=7, chunk_rays=None, static=False):
+    # static=False: the fori body is cheap to compile under interpret; one
+    # dedicated test covers the static-unroll variant on a tiny scene.
     scene, cset = _scene(n_faces, seed=seed)
     ov, dv = _rays(n_rays, seed=seed + 1)
     jset = jax.tree_util.tree_map(jnp.asarray, cset)
     jtris = jax.tree_util.tree_map(jnp.asarray, scene.tris)
     kw = {"chunk_rays": chunk_rays} if chunk_rays else {}
     t_g, f_g = intersect_gated(
-        jnp, ov, dv, jtris, jset, rows=rows, interpret=True, **kw
+        jnp, ov, dv, jtris, jset, rows=rows, interpret=True,
+        static_unroll=static, **kw
     )
     t_b, f_b = intersect_brute(jnp, ov, dv, jtris)
     np.testing.assert_array_equal(np.asarray(f_g), np.asarray(f_b))
@@ -52,6 +56,11 @@ def _check(n_faces, n_rays, rows=1, seed=7, chunk_rays=None):
 
 def test_gated_matches_brute():
     _check(400, 512, rows=1)
+
+
+@pytest.mark.slow  # interpret-mode compile of the unrolled sections ~3 min
+def test_gated_static_unroll_small():
+    _check(150, 256, rows=1, static=True)
 
 
 def test_gated_rows2():
@@ -74,7 +83,7 @@ def test_gated_alive_and_counts():
     alive = jnp.asarray((np.arange(256) % 3) != 0)
     t_g, f_g, n_tests = intersect_gated(
         jnp, ov, dv, jtris, jset, alive=alive, rows=1, interpret=True,
-        with_counts=True,
+        with_counts=True, static_unroll=False,
     )
     _, f_b = intersect_brute(jnp, ov, dv, jtris)
     a = np.asarray(alive)
@@ -92,7 +101,8 @@ def test_gated_nee_matches_separate():
     jtris = jax.tree_util.tree_map(jnp.asarray, scene.tris)
     lp = Vec3(jnp.float32(0.1), jnp.float32(2.0), jnp.float32(-0.2))
     t_g, f_g, occ = intersect_gated(
-        jnp, ov, dv, jtris, jset, light_pos=lp, rows=1, interpret=True
+        jnp, ov, dv, jtris, jset, light_pos=lp, rows=1, interpret=True,
+        static_unroll=False,
     )
     from pbr_tpu.ops.intersect import INF, moller_trumbore
 
@@ -122,7 +132,10 @@ def test_gated_nee_matches_separate():
     np.testing.assert_array_equal(np.asarray(occ), occ_ref)
 
 
-def test_gated_dispatch():
+def test_gated_dispatch(monkeypatch):
+    import pbr_tpu.ops.pallas_gated as pg
+
+    monkeypatch.setattr(pg, "STATIC_MAX_CLUSTERS", 0)
     scene, _ = scene_from_text(random_soup(500, seed=6), use_bvh=True)
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)
     ov, dv = _rays(256, seed=17)
