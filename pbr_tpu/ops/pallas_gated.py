@@ -220,7 +220,7 @@ def _pack_words(jnp, hit):
 
 
 def intersect_gated(
-    xp, o, d, tris, cset, light_pos=None, alive=None, rows: int = 2,
+    xp, o, d, tris, cset, light_pos=None, alive=None, rows: int = 8,
     interpret: bool = False, with_counts: bool = False,
     chunk_rays: int = 262144, static_unroll=None,
 ):
@@ -232,7 +232,8 @@ def intersect_gated(
     order); ``cset``: the matching ClusterSet (fine AABBs at 64-face
     granularity are the gate targets). ``rows``: sublane rows per ray
     tile — tile = rows*128 rays is both the frustum and the gate
-    granularity.
+    granularity (measured: 8 wins at every size — the per-tile fixed
+    cost dominates what finer frustums save; tools/tpu_queue.py gated).
     """
     import jax
     import jax.numpy as jnp

@@ -129,6 +129,7 @@ def sharded_train_step(
     target_rgb,  # (npix, 3) float32, flat pixel order
     frame_seed,
     lr: float = 0.0,
+    check_vma: bool = True,
 ):
     """One differentiable render + MSE-loss + grad step over the mesh.
 
@@ -137,6 +138,10 @@ def sharded_train_step(
     the gradient all-reduce leg of SURVEY.md §2.5. Returns
     ``(loss, grads, new_params)`` with grads/params structured as
     ``render_params``. ``lr > 0`` applies plain SGD to the float leaves.
+    ``check_vma=False`` is required when the shard body runs Pallas
+    kernels in INTERPRET mode (CPU-mesh testing): the interpreter
+    evaluates block index_maps as jax ops, mixing unvarying grid indices
+    into sharded-array slices (real-chip lowering is unaffected).
     """
     import jax
     import jax.numpy as jnp
@@ -179,7 +184,18 @@ def sharded_train_step(
             # over ('dp','sp') to keep their cotangents replicated — `grads`
             # leaves this function fully reduced. (An explicit psum here
             # would multiply by the axis sizes; verified against
-            # single-device grads in tests/test_sharding.py.)
+            # single-device grads in tests/test_sharding.py.) That
+            # insertion is part of the vma machinery: with check_vma=False
+            # it does NOT happen (measured: dp=8 returned a shard-local
+            # grad), so the psum must be explicit in that mode.
+            if not check_vma:
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.psum(g, ("dp", "sp"))
+                    if hasattr(g, "dtype")
+                    and jnp.issubdtype(g.dtype, jnp.floating)
+                    else g,
+                    grads,
+                )
             return loss, grads
 
         loss, grads = jax.shard_map(
@@ -187,6 +203,7 @@ def sharded_train_step(
             mesh=mesh,
             in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P()),
             out_specs=(P(), P()),
+            check_vma=check_vma,
         )(scene, cam, ids, tr, tg, tb, seed)
 
         params = (scene.materials, scene.lights, cam)
