@@ -90,6 +90,15 @@ def main() -> None:
         help="backward-pass rematerialization policy",
     )
     ap.add_argument(
+        "--lane-order",
+        default="auto",
+        choices=["auto", "scanline", "morton"],
+        dest="lane_order",
+        help="pixel->lane mapping: 'morton' makes compaction blocks and "
+        "cull groups square pixel patches (utils/morton.py) — wins on "
+        "object-against-sky scenes; 'auto' = morton for non-cornell",
+    )
+    ap.add_argument(
         "--scaling",
         action="store_true",
         help="dp-scaling harness on the virtual 8-device CPU mesh: rays/s "
@@ -197,7 +206,7 @@ def main() -> None:
             (int(p.split(":")[0]), float(p.split(":")[1]))
             for p in (
                 args.compact
-                or ("4:0.73,5:0.07" if scene_tag == "cornell" else "4:0.85,5:0.2")
+                or ("4:0.73,5:0.07" if scene_tag == "cornell" else "4:0.95,5:0.3")
             ).split(",")
         ),
         compact_block=args.block,
@@ -211,10 +220,42 @@ def main() -> None:
     # packet Pallas kernel's packed VMEM tables hold the whole scene.
     max_leaf = bvh_max_leaf(scene)
 
+    if args.compact is None and not args.no_compact and scene_tag != "cornell":
+        # Non-Cornell scenes: derive the schedule from the occupancy probe
+        # (probe_compact_schedule) instead of a per-scene constant — on
+        # miss-heavy scenes most primary rays die at bounce 0 and the
+        # probe discovers early-bounce caps a fixed schedule can't know.
+        from pbr_tpu.models.pathtracer import probe_compact_schedule
+
+        t_probe = time.time()
+        probe_ids = None
+        if args.lane_order in ("morton", "auto"):
+            from pbr_tpu.utils.morton import morton_pixel_ids
+
+            probe_ids = morton_pixel_ids(size, size)
+        sched = probe_compact_schedule(
+            scene, cam, settings, max_leaf=max_leaf, pixel_ids=probe_ids
+        )
+        settings = settings.replace(compact_schedule=sched)
+        print(
+            f"[bench] probed compaction schedule {sched} in "
+            f"{time.time() - t_probe:.1f}s",
+            file=sys.stderr,
+        )
+
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)
     jcam = jax.tree_util.tree_map(jnp.asarray, cam)
     npx = size * size
-    ids = jnp.arange(npx, dtype=jnp.int32)
+    lane_order = args.lane_order
+    if lane_order == "auto":
+        lane_order = "scanline" if scene_tag == "cornell" else "morton"
+    if lane_order == "morton":
+        from pbr_tpu.utils.morton import morton_pixel_ids
+
+        ids = jnp.asarray(morton_pixel_ids(size, size))
+        print("[bench] lane order: morton (16x8-pixel blocks)", file=sys.stderr)
+    else:
+        ids = jnp.arange(npx, dtype=jnp.int32)
 
     # ---- measure actual ray counts (one instrumented trace) --------------
     @functools.partial(jax.jit, static_argnames=("settings",))

@@ -194,7 +194,20 @@ def cmd_render(args) -> None:
 
 def _write_heatmap(path: str, scene, cam, settings) -> None:
     """Per-pixel work heatmap — the debug image of the reference
-    (writeDebugImage, pathtracing.cl:73-78), here counting live bounces."""
+    (writeDebugImage, pathtracing.cl:73-78; the counters come from the
+    per-ray ``uint debugCounter`` incremented per intersection test,
+    pt_bvh.cl:23,89).
+
+    Two channels, each self-normalized to its own max:
+      R = ray-face intersection tests executed for the pixel's paths
+          (exact full-sweep counts on the brute family; row-granular
+          cull-verdict counts on the sweep/gated paths — the per-ray
+          work *upper bound*, early-out savings not subtracted),
+      G = live bounces (path length).
+    The channel totals are asserted against the scalar work counters in
+    tests/test_counters.py (sum(R) == n_tests implied by n_path; exact
+    invariant per intersector family).
+    """
     import functools
 
     import jax
@@ -213,11 +226,19 @@ def _write_heatmap(path: str, scene, cam, settings) -> None:
         static_argnames=("settings",),
     )
     res = f(jscene, jcam, settings=settings, pixel_ids=ids, frame_seed=jnp.uint32(0))
-    heat = np.asarray(res.heat_bounces, dtype=np.float32).reshape(
-        settings.height, settings.width
-    )[::-1]
-    heat = heat / max(float(heat.max()), 1.0)
-    write_png(path, tonemap(np.repeat(heat[..., None], 3, axis=-1), gamma=1.0))
+
+    def chan(a):
+        img = np.asarray(a, dtype=np.float32).reshape(
+            settings.height, settings.width
+        )[::-1]
+        return img / max(float(img.max()), 1.0)
+
+    heat = chan(res.heat_bounces)
+    rgb = np.repeat(heat[..., None], 3, axis=-1)
+    if res.heat_tests is not None:
+        rgb[..., 0] = chan(res.heat_tests)
+        rgb[..., 2] = 0.0
+    write_png(path, tonemap(rgb, gamma=1.0))
     Logger.info(f"[app] Wrote {path}")
 
 

@@ -94,8 +94,9 @@ def probe_compact_schedule(
     cam: CameraState,
     settings: RenderSettings,
     max_leaf: int = 2,
-    headroom: float = 2.0,
+    headroom: float = 1.5,
     probe_rows: int = 64,
+    pixel_ids=None,
 ):
     """Derive a compaction schedule from a cheap occupancy probe
     (VERDICT r3 item 5: auto-derive caps instead of per-scene constants).
@@ -111,10 +112,18 @@ def probe_compact_schedule(
     import jax.numpy as jnp
 
     w, h = settings.width, settings.height
-    n_rows = min(h, probe_rows)
-    stride = max(1, h // n_rows)
-    rows = np.arange(0, h, stride)[:n_rows]
-    ids = (rows[:, None] * w + np.arange(w)[None, :]).reshape(-1).astype(np.int32)
+    if pixel_ids is not None:
+        # Non-scanline lane orders (utils/morton.py): block structure is
+        # position-dependent, so the probe runs the caller's exact lane
+        # permutation (full frame) rather than a row band.
+        ids = np.asarray(pixel_ids, dtype=np.int32)
+    else:
+        n_rows = min(h, probe_rows)
+        stride = max(1, h // n_rows)
+        rows = np.arange(0, h, stride)[:n_rows]
+        ids = (
+            (rows[:, None] * w + np.arange(w)[None, :]).reshape(-1).astype(np.int32)
+        )
     ps = settings.replace(
         compact_schedule=(),
         bounce_loop="scan",
@@ -136,11 +145,16 @@ def probe_compact_schedule(
     )
     schedule = []
     prev = 1.0
-    for kb in range(2, settings.max_total_depth):
+    # Start at bounce 1: on miss-heavy scenes (an object covering a
+    # fraction of the frame — suzanne, soups) most primary rays die at
+    # bounce 0, so bounces 1..3 at full width are the dominant waste; the
+    # Cornell-style interiors that motivated starting later keep ~100%
+    # row-live at bounce 1 and simply don't trigger the stage gate.
+    for kb in range(1, settings.max_total_depth):
         f = min(1.0, float(frac[kb]) * headroom)
         # A stage is worth its gather cost only when it cuts width
         # meaningfully (prof_compactcfg.py: early/narrow stages lose).
-        if f < prev * 0.7:
+        if f < prev * 0.8:
             f = max(f, 1.0 / 512.0)
             schedule.append((kb, round(f, 4)))
             prev = f
@@ -160,6 +174,7 @@ class PathTracer:
         settings: RenderSettings,
         max_leaf: int = None,
         donate: bool = True,
+        lane_order: str = "scanline",
     ):
         import jax
         import jax.numpy as jnp
@@ -176,7 +191,21 @@ class PathTracer:
         self.scene = jax.tree_util.tree_map(jnp.asarray, scene)
         self.max_leaf = max_leaf
         npx = settings.width * settings.height
-        self.pixel_ids = jnp.arange(npx, dtype=jnp.int32)
+        # Pixel->lane mapping: 'morton' turns compaction blocks and cull
+        # groups into square pixel patches (utils/morton.py) — measured
+        # win on scenes where paths die in spatial clusters (object
+        # against sky); 'scanline' is the identity order.
+        self.lane_order = lane_order
+        if lane_order == "morton":
+            from pbr_tpu.utils.morton import morton_pixel_ids
+
+            self._perm = morton_pixel_ids(settings.width, settings.height)
+            self.pixel_ids = jnp.asarray(self._perm)
+        elif lane_order == "scanline":
+            self._perm = None
+            self.pixel_ids = jnp.arange(npx, dtype=jnp.int32)
+        else:
+            raise ValueError(f"unknown lane_order {lane_order!r}")
         self.state = init_frame_state(jnp, npx)
         self._warned_drop = False
 
@@ -209,7 +238,8 @@ class PathTracer:
         from pbr_tpu.utils.log import Logger
 
         schedule = probe_compact_schedule(
-            self.scene, cam, self.settings, max_leaf=self.max_leaf
+            self.scene, cam, self.settings, max_leaf=self.max_leaf,
+            pixel_ids=self._perm,
         )
         Logger.info(f"[pathtracer] auto compaction schedule: {schedule}")
         self.settings = self.settings.replace(compact_schedule=schedule)
@@ -295,8 +325,17 @@ class PathTracer:
             [np.asarray(self.state.rgb.x), np.asarray(self.state.rgb.y), np.asarray(self.state.rgb.z)],
             axis=-1,
         )
+        if self._perm is not None:
+            img = np.empty_like(rgb)
+            img[self._perm] = rgb  # lane i holds pixel _perm[i]
+            rgb = img
         return rgb.reshape(h, w, 3)[::-1]
 
     def depth_image(self) -> np.ndarray:
         h, w = self.settings.height, self.settings.width
-        return np.asarray(self.state.depth).reshape(h, w)[::-1]
+        depth = np.asarray(self.state.depth)
+        if self._perm is not None:
+            img = np.empty_like(depth)
+            img[self._perm] = depth
+            depth = img
+        return depth.reshape(h, w)[::-1]

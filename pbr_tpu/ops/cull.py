@@ -129,6 +129,10 @@ def frustum_hits(
             xp.maximum(sl[None, :] - oh[:, None], ol[:, None] - sh[None, :]),
             F32(0.0),
         )
+        # Clamp before squaring: empty octant groups carry +/-BIG bounds
+        # whose squared gaps overflow f32 (harmless but noisy); clamping
+        # DOWN only lowers the entry bound, which stays conservative.
+        gap = xp.minimum(gap, F32(1.0e18))
         d2 = d2 + gap * gap
     dist = xp.sqrt(d2)
     t_entry = xp.maximum(t_entry, dist)
@@ -249,6 +253,81 @@ def candidates_fine(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=Non
     return cand, counts, tent
 
 
+def frustum_hits_octants(
+    xp, o: Vec3, d: Vec3, g: int, bb_min: Vec3, bb_max: Vec3, t_cap=None,
+    live=None,
+):
+    """Octant-split conservative group-frustum vs cluster-AABB test.
+
+    The plain per-group interval frustum loses the slab constraint the
+    moment a group mixes direction signs — exactly the bounce-ray
+    population (hemisphere-scattered directions over spatially-local
+    origins), where culling matters most (docs/PERF.md round-3 "honest
+    bounds": tile-union over-collects 5-10x there). This computes EIGHT
+    sign-pure sub-frustums per group — lanes masked by direction octant,
+    masked min/max origin/direction bounds — and ORs their verdicts: every
+    sub-frustum has sign-pure direction intervals, so the slab test
+    constrains all three axes again, and clusters behind a bounce row's
+    local tangent plane (roughly half the scene) fail the sub-frustum of
+    every octant actually present.
+
+    ``o``/``d``: flat (N,) ray components, N a multiple of ``g`` (the
+    group size — a sweep row or a gated tile). ``t_cap``: optional (T,)
+    per-group bound. Returns ``(hit, t_entry)`` of (T, C) — hit is the OR
+    over octants; t_entry the min over hitting octants (a sound lower
+    bound for near-to-far ordering / early-out keys).
+
+    Octants with no lanes are gated off explicitly (their masked bounds
+    are inverted boxes, which the distance term already rejects, but the
+    gate keeps the reasoning local). Conservative in exactly the
+    ``frustum_hits`` sense: may over-include, never misses a cluster any
+    live lane of the group could hit.
+    """
+    t = o.x.shape[0] // g
+
+    def grp(a):
+        return a.reshape(t, 1, g)
+
+    oct_id = (
+        (d.x < 0).astype(xp.int32)
+        + 2 * (d.y < 0).astype(xp.int32)
+        + 4 * (d.z < 0).astype(xp.int32)
+    )
+    m = grp(oct_id) == xp.arange(8, dtype=xp.int32)[None, :, None]  # (T,8,g)
+    if live is not None:
+        # Dead lanes (terminated paths / missed-shadow seeds) contribute
+        # no constraint demand: their (stale) o/d would otherwise inflate
+        # the sub-frustums — on miss-heavy scenes most of a late bounce's
+        # cluster demand is pure ghosts. Groups with no live lane get no
+        # clusters at all, so their sweep sections vanish.
+        m = m & grp(live)
+    occ = xp.any(m, axis=2).reshape(-1)  # (T*8,)
+
+    def mm(a):
+        lo = xp.min(xp.where(m, grp(a), _BIG), axis=2).reshape(-1)
+        hi = xp.max(xp.where(m, grp(a), -_BIG), axis=2).reshape(-1)
+        return lo, hi
+
+    ox, oy, oz = mm(o.x), mm(o.y), mm(o.z)
+    dx, dy, dz = mm(d.x), mm(d.y), mm(d.z)
+    cap8 = None
+    if t_cap is not None:
+        cap8 = xp.broadcast_to(t_cap[:, None], (t, 8)).reshape(-1)
+    hit8, te8 = frustum_hits(
+        xp,
+        Vec3(ox[0], oy[0], oz[0]), Vec3(ox[1], oy[1], oz[1]),
+        Vec3(dx[0], dy[0], dz[0]), Vec3(dx[1], dy[1], dz[1]),
+        bb_min, bb_max, cap8,
+    )  # (T*8, C)
+    hit8 = hit8 & occ[:, None]
+    c = bb_min.x.shape[0]
+    hit = xp.any(hit8.reshape(t, 8, c), axis=1)
+    t_entry = xp.min(
+        xp.where(hit8, te8, _BIG).reshape(t, 8, c), axis=1
+    )
+    return hit, t_entry
+
+
 def _row_minmax_v(xp, o: Vec3, d: Vec3, rg: int):
     ox = _tile_minmax(xp, o.x, rg)
     oy = _tile_minmax(xp, o.y, rg)
@@ -263,7 +342,8 @@ def _row_minmax_v(xp, o: Vec3, d: Vec3, rg: int):
 
 
 def candidates_rows(
-    xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, groups: int, t_cap=None
+    xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, groups: int,
+    t_cap=None, octants: bool = True, live=None,
 ):
     """Row-culled candidate lists for the row-sweep kernel
     (ops/pallas_sweep.py): per-TILE near-to-far lists at LIN-cluster
@@ -281,10 +361,15 @@ def candidates_rows(
     cl = cset.lin.shape[0]
     c2 = cset.sup_min.x.shape[0]
     lps = cl // c2
-    o_lo, o_hi, d_lo, d_hi = _row_minmax_v(xp, o, d, rg)
-    hit8s, te8s = frustum_hits(
-        xp, o_lo, o_hi, d_lo, d_hi, cset.sup_min, cset.sup_max, t_cap
-    )  # (T8, C2)
+    if octants:
+        hit8s, te8s = frustum_hits_octants(
+            xp, o, d, rg, cset.sup_min, cset.sup_max, t_cap, live=live
+        )  # (T8, C2)
+    else:
+        o_lo, o_hi, d_lo, d_hi = _row_minmax_v(xp, o, d, rg)
+        hit8s, te8s = frustum_hits(
+            xp, o_lo, o_hi, d_lo, d_hi, cset.sup_min, cset.sup_max, t_cap
+        )  # (T8, C2)
     t = hit8s.shape[0] // groups
     hit_s = xp.any(hit8s.reshape(t, groups, c2), axis=1)  # (T, C2)
     te_s = xp.min(
@@ -304,9 +389,14 @@ def candidates_rows(
     tent = xp.broadcast_to(tent2[:, :, None], tent2.shape + (lps,)).reshape(-1, cl)
     counts = counts2 * np.int32(lps)
     # Per-row verdicts at lin granularity, packed as bits 16..16+groups.
-    hit8l, _ = frustum_hits(
-        xp, o_lo, o_hi, d_lo, d_hi, cset.lbb_min, cset.lbb_max, t_cap
-    )  # (T8, CL)
+    if octants:
+        hit8l, _ = frustum_hits_octants(
+            xp, o, d, rg, cset.lbb_min, cset.lbb_max, t_cap, live=live
+        )  # (T8, CL)
+    else:
+        hit8l, _ = frustum_hits(
+            xp, o_lo, o_hi, d_lo, d_hi, cset.lbb_min, cset.lbb_max, t_cap
+        )  # (T8, CL)
     hit8l = hit8l.reshape(t, groups, cl)
     bits = xp.take_along_axis(
         hit8l, xp.broadcast_to(cand[:, None, :], (t, groups, cl)), axis=2
@@ -319,18 +409,25 @@ def candidates_rows(
 
 
 def row_hit_words(
-    xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, groups: int, t_cap=None
+    xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, groups: int,
+    t_cap=None, octants: bool = True, live=None,
 ):
     """(T, W) int32 packed per-row lin-cluster verdicts for the masked
     row-sweep kernel: cluster ``c`` row ``g`` lives in word ``c // 2`` at
     bit ``(c % 2) * 8 + g`` (two clusters per word keeps the sign bit
-    clear — SMEM int32 is sign-safe)."""
+    clear — SMEM int32 is sign-safe). ``octants``: sign-pure sub-frustum
+    verdicts (see ``frustum_hits_octants``)."""
     rg = tile // groups
     cl = cset.lin.shape[0]
-    o_lo, o_hi, d_lo, d_hi = _row_minmax_v(xp, o, d, rg)
-    hit8, _ = frustum_hits(
-        xp, o_lo, o_hi, d_lo, d_hi, cset.lbb_min, cset.lbb_max, t_cap
-    )  # (T8, CL)
+    if octants:
+        hit8, _ = frustum_hits_octants(
+            xp, o, d, rg, cset.lbb_min, cset.lbb_max, t_cap, live=live
+        )  # (T8, CL)
+    else:
+        o_lo, o_hi, d_lo, d_hi = _row_minmax_v(xp, o, d, rg)
+        hit8, _ = frustum_hits(
+            xp, o_lo, o_hi, d_lo, d_hi, cset.lbb_min, cset.lbb_max, t_cap
+        )  # (T8, CL)
     t = hit8.shape[0] // groups
     bits = hit8.reshape(t, groups, cl).astype(xp.int32)
     bits = bits << xp.arange(groups, dtype=xp.int32)[None, :, None]
@@ -344,11 +441,21 @@ def row_hit_words(
     return pc[:, :, 0] | (pc[:, :, 1] << 8)
 
 
-def fine_hit_mask(xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None):
+def fine_hit_mask(
+    xp, o: Vec3, d: Vec3, cset: ClusterSet, tile: int, t_cap=None,
+    octants: bool = True, live=None,
+):
     """(T, C) fine-cluster frustum verdicts (no ordering, no lists) — the
-    masked-sweep kernel's input: it visits clusters in static ascending
+    gated-brute kernel's input: it visits clusters in static ascending
     order gated by these bits, so small scenes skip candidate
-    selection/sorting entirely."""
+    selection/sorting entirely. ``octants`` (default): sign-pure
+    sub-frustum verdicts (``frustum_hits_octants``) — the difference
+    between gating bounce tiles and not."""
+    if octants:
+        hit, _ = frustum_hits_octants(
+            xp, o, d, tile, cset.bb_min, cset.bb_max, t_cap, live=live
+        )
+        return hit
     ox = _tile_minmax(xp, o.x, tile)
     oy = _tile_minmax(xp, o.y, tile)
     oz = _tile_minmax(xp, o.z, tile)

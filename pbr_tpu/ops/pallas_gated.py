@@ -295,8 +295,10 @@ def intersect_gated(
     def shape2(a):
         return a.reshape(-1, rows, _LANES)
 
-    def run_pass(ov, dv, seed_t, seed_f, any_hit, t_cap):
-        hit = fine_hit_mask(jnp, ov, dv, cset, tile, t_cap=t_cap)  # (T, C)
+    def run_pass(ov, dv, seed_t, seed_f, any_hit, t_cap, live):
+        hit = fine_hit_mask(
+            jnp, ov, dv, cset, tile, t_cap=t_cap, live=live
+        )  # (T, C)
         words = _pack_words(jnp, hit)
         counts = None
         if with_counts:
@@ -321,7 +323,7 @@ def intersect_gated(
         f_seed = jnp.full((chunk,), -1, jnp.int32)
         t_flat, f_flat, n_tests = run_pass(
             Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_seed, f_seed,
-            any_hit=False, t_cap=None,
+            any_hit=False, t_cap=None, live=alive_c,
         )
         if n_tests is None:
             n_tests = jnp.zeros((chunk,), jnp.int32)
@@ -348,7 +350,7 @@ def intersect_gated(
         occ_seed = jnp.where(hit, 0.0, 1.0).astype(jnp.float32)
         occ_out, _, n_tests_sh = run_pass(
             Vec3(hx, hy, hz), Vec3(sx, sy, sz), occ_seed, t_light,
-            any_hit=True, t_cap=t_cap,
+            any_hit=True, t_cap=t_cap, live=hit,
         )
         if n_tests_sh is not None:
             n_tests = n_tests + n_tests_sh

@@ -422,13 +422,15 @@ def intersect_sweep(
         r = jnp.stack(cols, axis=-1)  # (chunk, RCOLS)
         return r.reshape(n_tiles, tile, RCOLS)
 
-    def run_pass(ov, dv, tlim, seed_t, seed_f, any_hit, t_cap_rows):
+    def run_pass(ov, dv, tlim, seed_t, seed_f, any_hit, t_cap_rows, live):
         rays = rays_of(ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tlim)
         seed_t3 = seed_t.reshape(n_tiles, tile, 1)
         seed_f3 = seed_f.reshape(n_tiles, tile, 1)
         counts_per_ray = None
         if cl <= MASKED_MAX_LIN:
-            words = row_hit_words(jnp, ov, dv, cset, tile, groups, t_cap=t_cap_rows)
+            words = row_hit_words(
+                jnp, ov, dv, cset, tile, groups, t_cap=t_cap_rows, live=live
+            )
             if with_counts:
                 # Unpack each row's verdict popcount back out of the words:
                 # word w holds cluster 2w's row bits 0-7 and 2w+1's at 8-15.
@@ -446,7 +448,7 @@ def intersect_sweep(
             t_out, f_out = call(words, lin, rays, seed_t3, seed_f3)
             return t_out, f_out, counts_per_ray
         cand, cnt, tent = candidates_rows(
-            jnp, ov, dv, cset, tile, groups, t_cap=t_cap_rows
+            jnp, ov, dv, cset, tile, groups, t_cap=t_cap_rows, live=live
         )
         if with_counts:
             j = jnp.arange(cand.shape[1], dtype=jnp.int32)[None, :]
@@ -487,7 +489,7 @@ def intersect_sweep(
         f_seed = jnp.full((chunk,), -1, jnp.int32)
         t_out, f_out, n_tests = run_pass(
             Vec3(ox, oy, oz), Vec3(dx, dy, dz), zeros, t_seed, f_seed,
-            any_hit=False, t_cap_rows=None,
+            any_hit=False, t_cap_rows=None, live=alive_c,
         )
         t_flat = t_out.reshape(-1)
         f_flat = f_out.reshape(-1)
@@ -520,7 +522,7 @@ def intersect_sweep(
         occ_seed = jnp.where(hit, 0.0, 1.0).astype(jnp.float32)
         occ_out, _, n_tests_sh = run_pass(
             Vec3(hx, hy, hz), Vec3(sx, sy, sz), t_light, occ_seed, f_seed,
-            any_hit=True, t_cap_rows=t_cap_rows,
+            any_hit=True, t_cap_rows=t_cap_rows, live=hit,
         )
         if n_tests_sh is not None:
             n_tests = n_tests + n_tests_sh

@@ -47,6 +47,38 @@ def write_png(path: str, img_u8: np.ndarray) -> None:
         f.write(png)
 
 
+def read_png(path: str) -> np.ndarray:
+    """Read a PNG written by ``write_png`` back to (H, W, 3) uint8.
+
+    Supports exactly the subset write_png emits (8-bit RGB, filter 0) —
+    enough for round-trip tests without an imaging dependency.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert (depth, ctype) == (8, 2), "read_png: only 8-bit RGB"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = []
+    for i in range(h):
+        line = raw[i * stride : (i + 1) * stride]
+        assert line[0] == 0, "read_png: only filter 0 (write_png's output)"
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8).reshape(w, 3))
+    return np.stack(rows)
+
+
 def write_ppm(path: str, img_u8: np.ndarray) -> None:
     """Write an (H, W, 3) uint8 array as a binary PPM file."""
     img_u8 = np.asarray(img_u8)

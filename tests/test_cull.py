@@ -288,3 +288,78 @@ def test_cull_integrator_end_to_end_matches_bvh():
 def test_cull_tri_precision_matches_brute():
     # bf16x3 hand-rolled matmul (~f32 accuracy) must keep face parity.
     _cull_vs_brute(400, 512, csize=64, tile=64, slots=128, precision="tri")
+
+
+def test_octant_verdicts_conservative_and_tighter():
+    """frustum_hits_octants must never miss a cluster any group ray truly
+    slab-hits, and must be at least as tight as the sign-mixed interval
+    frustum (it is a refinement: every octant sub-frustum is contained in
+    the group frustum)."""
+    from pbr_tpu.ops.cull import _tile_minmax, frustum_hits, frustum_hits_octants
+    from pbr_tpu.ops.intersect import slab_box
+
+    scene, cset = _scene(n=700, seed=3)
+    o, d = _rays(2048, seed=9)
+    # Make half the batch bounce-like: 32-ray groups with TIGHT origins
+    # (a surface patch) and hemisphere-scattered directions — the
+    # population where sign-pure sub-frustums actually bite (a wide
+    # origin box containing the scene hits everything in any frame).
+    rs = np.random.RandomState(17)
+    g = 32
+    half = o.shape[0] // 2
+    centers = rs.uniform(-1.2, 1.2, size=(half // g, 3)).astype(np.float32)
+    o[:half] = (
+        np.repeat(centers, g, axis=0)
+        + rs.uniform(-0.02, 0.02, size=(half, 3)).astype(np.float32)
+    )
+    ov = Vec3(o[:, 0], o[:, 1], o[:, 2])
+    dv = Vec3(d[:, 0], d[:, 1], d[:, 2])
+    hit_o, te_o = frustum_hits_octants(
+        np, ov, dv, g, cset.bb_min, cset.bb_max
+    )
+    mm = lambda a: _tile_minmax(np, a, g)  # noqa: E731
+    ox, oy, oz = mm(o[:, 0]), mm(o[:, 1]), mm(o[:, 2])
+    dx, dy, dz = mm(d[:, 0]), mm(d[:, 1]), mm(d[:, 2])
+    hit_m, _ = frustum_hits(
+        np,
+        Vec3(ox[0], oy[0], oz[0]), Vec3(ox[1], oy[1], oz[1]),
+        Vec3(dx[0], dy[0], dz[0]), Vec3(dx[1], dy[1], dz[1]),
+        cset.bb_min, cset.bb_max,
+    )
+    # Refinement: octant verdicts are a subset of the mixed-frustum ones.
+    assert not (hit_o & ~hit_m).any()
+    # ...and a strict improvement somewhere on this adversarial mix.
+    assert (hit_m & ~hit_o).sum() > 0
+
+    # Conservativeness + entry-bound soundness vs per-ray ground truth.
+    c = cset.bb_min.x.shape[0]
+    with np.errstate(all="ignore"):
+        inv = Vec3(1.0 / dv.x, 1.0 / dv.y, 1.0 / dv.z)
+        for ci in range(c):
+            if cset.bb_min.x[ci] > cset.bb_max.x[ci]:
+                # Padding cluster (inverted AABB, zero faces): the scalar
+                # slab oracle with a d==0 axis yields a spurious
+                # (-inf, inf) interval there; production gates these with
+                # the explicit nonempty check.
+                continue
+            bmn = Vec3(
+                np.full_like(ov.x, cset.bb_min.x[ci]),
+                np.full_like(ov.x, cset.bb_min.y[ci]),
+                np.full_like(ov.x, cset.bb_min.z[ci]),
+            )
+            bmx = Vec3(
+                np.full_like(ov.x, cset.bb_max.x[ci]),
+                np.full_like(ov.x, cset.bb_max.y[ci]),
+                np.full_like(ov.x, cset.bb_max.z[ci]),
+            )
+            t_near, t_far, hb = slab_box(np, ov, inv, bmn, bmx)
+            ray_hits = hb & (t_far > 0)
+            grp_hit = ray_hits.reshape(-1, g).any(axis=1)
+            miss = grp_hit & ~hit_o[:, ci]
+            assert not miss.any(), f"cluster {ci}: octant verdict missed a true hit"
+            # Entry bound lower-bounds every true forward hit distance.
+            tn = np.where(ray_hits, np.maximum(t_near, 0.0), np.inf).reshape(
+                -1, g
+            ).min(axis=1)
+            ok = ~grp_hit | (te_o[:, ci] <= tn + 1e-4)
+            assert ok.all(), f"cluster {ci}: entry bound not sound"
