@@ -356,23 +356,31 @@ def intersect_scene(
 
             on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
-            # MEASURED policy (docs/PERF.md round 3, END-TO-END frames —
-            # intersect-only rankings invert on full frames because
-            # hemisphere-scattered bounce rays favor brute's straight-line
-            # sweep): brute wins whole frames up through suzanne-scale
-            # (8.4 vs 5.3 M rays/s fwd+bwd at 1,082 faces) but its
-            # unrolled program stops COMPILING inside the integrator by
-            # 4,000 faces (remote-compile failure); cull serves every size
-            # above. Threshold 2048 = between the largest size brute is
-            # proven better at and the first size it cannot build. The
-            # packet BVH kernel and the forest never win anywhere (r2
-            # measurement, traversal serializes on tile-uniform cursors)
-            # and remain explicit modes only.
+            # MEASURED policy (docs/PERF.md round 4, END-TO-END fwd+bwd
+            # frames at 1024² — intersect-only rankings invert on full
+            # frames): brute's straight-line SMEM sweep wins small scenes
+            # (Cornell 220M rays/s); the gated-brute (same engine with
+            # per-tile cluster skip bits and NO unrolled-program compile
+            # ceiling, ops/pallas_gated.py) ties it at suzanne scale
+            # (7.8 vs 7.6 M rays/s at 1,082 faces) and beats the old
+            # slotted cull 2x across the mid band (soup:4000 6.4 vs 3.2;
+            # soup:10000 3.8 vs 2.6) up to its SMEM table cap; the
+            # slotted matmul cull wins above the gated SMEM cap
+            # (soup:100000 fwd+bwd: cull 1.3 vs row-sweep 0.9 M rays/s —
+            # the near-to-far slot ordering + early-out beats the
+            # row-sweep's finer verdicts at scale, BENCH_EXTRA_r04). The
+            # packet BVH kernel and the forest never win anywhere (r2:
+            # tile-uniform cursors serialize) and remain explicit modes
+            # only.
+            from pbr_tpu.ops.pallas_gated import GATED_MAX_FACES
             from pbr_tpu.ops.pallas_intersect import BRUTE_SMEM_MAX_FACES
 
-            if scene.clusters is not None and scene.tris.count > 2048:
+            nf = scene.tris.count
+            if scene.clusters is not None and 1024 < nf <= GATED_MAX_FACES:
+                mode = "gated"
+            elif scene.clusters is not None and nf > GATED_MAX_FACES:
                 mode = "cull"
-            elif scene.tris.count <= BRUTE_SMEM_MAX_FACES:
+            elif nf <= BRUTE_SMEM_MAX_FACES:
                 mode = "pallas"
             elif scene.forest is not None:
                 mode = "pallas_bvh_forest"
