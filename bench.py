@@ -130,6 +130,7 @@ def main() -> None:
 
     size = 256 if args.quick else args.size
     sky_override = (0.85, 0.9, 1.0)
+    shadow_override = 1
     if args.scene.startswith("soup:"):
         from pbr_tpu.scene.procedural import random_soup
 
@@ -158,21 +159,31 @@ def main() -> None:
                 f"{scene.forest.bvhs[0].count} nodes; accel/forest.py)",
                 file=sys.stderr,
             )
-    elif args.scene == "suzanne":
+    elif args.scene == "suzanne" or args.scene.endswith(".obj"):
         import os
 
         from pbr_tpu.io.loader import load_model
 
-        ref = "/root/reference/resources/models/testing/suzanne.obj"
+        if args.scene == "suzanne":
+            ref = "/root/reference/resources/models/testing/suzanne.obj"
+        else:
+            # Any OBJ — in particular the reference's structured test
+            # scenes (pillars/squirrels/spheres/applejack*: multi-object
+            # layouts with real spatial separation, the scene class the
+            # round-4 ceiling claim was never measured on).
+            ref = args.scene
         if not os.path.isfile(ref):
-            print("[bench] suzanne scene needs the reference checkout", file=sys.stderr)
+            print(f"[bench] scene not found: {ref}", file=sys.stderr)
             sys.exit(2)
-        # load_model needs shadow_rays>0 to pick up the .lights companion.
+        # load_model needs shadow_rays>0 to pick up the .lights companion;
+        # scenes with no .lights flip it back off (LightParser.cpp:116-121
+        # semantics), which shadow_override propagates below.
         scene, lset, _ = load_model(ref, RenderSettings(shadow_rays=1))
         sky_override = lset.sky_light
+        shadow_override = lset.shadow_rays
         # Reference default camera (config.json camera.eye/center).
         cam = make_camera_state(eye=(0.0, 1.0, 3.0), center_dir=(0.0, 0.0, 1.0))
-        scene_tag = "suzanne"
+        scene_tag = os.path.splitext(os.path.basename(ref))[0]
     else:
         obj, mtl, li = cornell_box()
         # TPU-first intersector choice: brute-force beats BVH traversal for a
@@ -187,7 +198,7 @@ def main() -> None:
         samples=1,
         max_depth=3,
         max_added_depth=5,
-        shadow_rays=1,
+        shadow_rays=shadow_override,
         anti_aliasing=0.7,
         sky_light=sky_override,
         bounce_loop=args.bounce_loop or "unroll",  # production default: runtime over compile
@@ -220,7 +231,17 @@ def main() -> None:
     # packet Pallas kernel's packed VMEM tables hold the whole scene.
     max_leaf = bvh_max_leaf(scene)
 
-    if args.compact is None and not args.no_compact and scene_tag != "cornell":
+    lane_order = args.lane_order
+    if lane_order == "auto":
+        lane_order = "scanline" if scene_tag == "cornell" else "morton"
+
+    # Probe whenever the fixed per-scene default does not describe the
+    # selected lane order: the Cornell constant was tuned on SCANLINE rows
+    # (ADVICE r4: applying it to morton-ordered lanes can silently drop
+    # live rows), so an explicit --lane-order morton re-probes too.
+    if args.compact is None and not args.no_compact and (
+        scene_tag != "cornell" or lane_order == "morton"
+    ):
         # Non-Cornell scenes: derive the schedule from the occupancy probe
         # (probe_compact_schedule) instead of a per-scene constant — on
         # miss-heavy scenes most primary rays die at bounce 0 and the
@@ -229,7 +250,7 @@ def main() -> None:
 
         t_probe = time.time()
         probe_ids = None
-        if args.lane_order in ("morton", "auto"):
+        if lane_order == "morton":
             from pbr_tpu.utils.morton import morton_pixel_ids
 
             probe_ids = morton_pixel_ids(size, size)
@@ -246,9 +267,6 @@ def main() -> None:
     jscene = jax.tree_util.tree_map(jnp.asarray, scene)
     jcam = jax.tree_util.tree_map(jnp.asarray, cam)
     npx = size * size
-    lane_order = args.lane_order
-    if lane_order == "auto":
-        lane_order = "scanline" if scene_tag == "cornell" else "morton"
     if lane_order == "morton":
         from pbr_tpu.utils.morton import morton_pixel_ids
 

@@ -89,6 +89,20 @@ def render_frame(
     return new_state
 
 
+def probe_subset_ids(ids: np.ndarray, block: int, target_lanes: int) -> np.ndarray:
+    """Evenly-strided subset of whole ``block``-aligned lane blocks of a
+    pixel-id permutation, capped at ~``target_lanes`` lanes. Keeps every
+    selected block contiguous and aligned, so row-live fractions measured
+    on the subset are at production compaction granularity."""
+    block = max(1, int(block))
+    while ids.size % block:
+        block //= 2  # the integrator halves until it divides; mirror it
+    n_blocks = ids.size // block
+    target = max(1, min(n_blocks, target_lanes // block))
+    sel = np.unique(np.linspace(0, n_blocks - 1, target).round().astype(np.int64))
+    return ids.reshape(n_blocks, block)[sel].reshape(-1)
+
+
 def probe_compact_schedule(
     scene: Scene,
     cam: CameraState,
@@ -114,9 +128,18 @@ def probe_compact_schedule(
     w, h = settings.width, settings.height
     if pixel_ids is not None:
         # Non-scanline lane orders (utils/morton.py): block structure is
-        # position-dependent, so the probe runs the caller's exact lane
-        # permutation (full frame) rather than a row band.
-        ids = np.asarray(pixel_ids, dtype=np.int32)
+        # position-dependent, so the probe samples a strided subset of
+        # WHOLE ``compact_block``-aligned blocks of the caller's exact
+        # lane permutation — row-live is measured at production block
+        # granularity (each sampled block is one production row) at the
+        # same ~probe_rows*width lane cost as the scanline band, instead
+        # of tracing the full frame (ADVICE r4: the "cheap" probe cost a
+        # whole production-resolution render).
+        ids = probe_subset_ids(
+            np.asarray(pixel_ids, dtype=np.int32),
+            settings.compact_block,
+            min(h, probe_rows) * w,
+        )
     else:
         n_rows = min(h, probe_rows)
         stride = max(1, h // n_rows)
@@ -161,6 +184,17 @@ def probe_compact_schedule(
     return tuple(schedule)
 
 
+def schedule_cost(schedule, max_total_depth: int) -> float:
+    """Estimated total bounce width (in frame-widths) under a compaction
+    schedule: the lane-order auto-probe's comparison metric. Lower = less
+    intersect+shade work scheduled across the frame's bounces."""
+    total = 0.0
+    for kb in range(max_total_depth):
+        caps = [f for (b, f) in schedule if b <= kb]
+        total += min(1.0, min(caps) if caps else 1.0)
+    return total
+
+
 class PathTracer:
     """Stateful convenience wrapper around the functional renderer.
 
@@ -174,7 +208,7 @@ class PathTracer:
         settings: RenderSettings,
         max_leaf: int = None,
         donate: bool = True,
-        lane_order: str = "scanline",
+        lane_order: str = "auto",
     ):
         import jax
         import jax.numpy as jnp
@@ -194,14 +228,26 @@ class PathTracer:
         # Pixel->lane mapping: 'morton' turns compaction blocks and cull
         # groups into square pixel patches (utils/morton.py) — measured
         # win on scenes where paths die in spatial clusters (object
-        # against sky); 'scanline' is the identity order.
+        # against sky); 'scanline' is the identity order; 'auto' (the
+        # production default, VERDICT r4 item 2) probes BOTH orders'
+        # row-live occupancy at the first render and keeps whichever
+        # schedules less bounce width (schedule_cost).
+        auto_compact = settings.compact_schedule == "auto"
+        if lane_order == "auto" and not auto_compact:
+            # Compaction schedules are lane-order-specific (a cap tuned on
+            # scanline rows can silently drop morton rows — ADVICE r4);
+            # with a pinned (or disabled) schedule the identity order is
+            # the one it was tuned for.
+            lane_order = "scanline"
         self.lane_order = lane_order
         if lane_order == "morton":
             from pbr_tpu.utils.morton import morton_pixel_ids
 
             self._perm = morton_pixel_ids(settings.width, settings.height)
             self.pixel_ids = jnp.asarray(self._perm)
-        elif lane_order == "scanline":
+        elif lane_order in ("scanline", "auto"):
+            # 'auto' starts on the identity order; _resolve_auto swaps in
+            # the morton permutation if its probe wins.
             self._perm = None
             self.pixel_ids = jnp.arange(npx, dtype=jnp.int32)
         else:
@@ -209,7 +255,7 @@ class PathTracer:
         self.state = init_frame_state(jnp, npx)
         self._warned_drop = False
 
-        if settings.compact_schedule == "auto":
+        if auto_compact:
             # Occupancy-probe-derived caps (probe_compact_schedule); the
             # probe needs a camera, so resolution is deferred to the first
             # render/warmup with the real camera state.
@@ -237,10 +283,41 @@ class PathTracer:
         self._auto_compact = False
         from pbr_tpu.utils.log import Logger
 
-        schedule = probe_compact_schedule(
-            self.scene, cam, self.settings, max_leaf=self.max_leaf,
-            pixel_ids=self._perm,
-        )
+        if self.lane_order == "auto":
+            # Dual-order probe (VERDICT r4 item 2): measure row-live
+            # occupancy under BOTH lane orders, derive each order's
+            # schedule, and keep the one that schedules less total bounce
+            # width. Both probes are block-subset traces (band cost).
+            from pbr_tpu.utils.morton import morton_pixel_ids
+
+            mperm = morton_pixel_ids(self.settings.width, self.settings.height)
+            sched_s = probe_compact_schedule(
+                self.scene, cam, self.settings, max_leaf=self.max_leaf
+            )
+            sched_m = probe_compact_schedule(
+                self.scene, cam, self.settings, max_leaf=self.max_leaf,
+                pixel_ids=mperm,
+            )
+            depth = self.settings.max_total_depth
+            cost_s = schedule_cost(sched_s, depth)
+            cost_m = schedule_cost(sched_m, depth)
+            if cost_m < cost_s:
+                self.lane_order = "morton"
+                self._perm = mperm
+                self.pixel_ids = self._jnp.asarray(mperm)
+                schedule = sched_m
+            else:
+                self.lane_order = "scanline"
+                schedule = sched_s
+            Logger.info(
+                f"[pathtracer] lane-order probe: scanline width {cost_s:.2f}"
+                f" vs morton {cost_m:.2f} -> {self.lane_order}"
+            )
+        else:
+            schedule = probe_compact_schedule(
+                self.scene, cam, self.settings, max_leaf=self.max_leaf,
+                pixel_ids=self._perm,
+            )
         Logger.info(f"[pathtracer] auto compaction schedule: {schedule}")
         self.settings = self.settings.replace(compact_schedule=schedule)
 

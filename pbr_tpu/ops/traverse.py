@@ -87,8 +87,9 @@ def _bvh_step(xp, o, d, inv_d, bvh: LinearBVH, tris: TrianglesSoA, max_leaf, sta
     gates ``t_far > EPSILON5`` and ``t_best > t_near``; on hit of a leaf,
     test its faces; next index = hit ? i+1 : exit[i].
     """
-    idx, t_best, face_best = state
+    idx, t_best, face_best, tests, visits = state
     n = bvh.count
+    walking = idx < n
     safe = xp.minimum(idx, n - 1)
 
     bb_min = gather_vec3(bvh.bb_min, safe)
@@ -113,9 +114,11 @@ def _bvh_step(xp, o, d, inv_d, bvh: LinearBVH, tris: TrianglesSoA, max_leaf, sta
         t_best = xp.where(better, t, t_best)
         face_best = xp.where(better, fidx.astype(xp.int32), face_best)
 
+    visits = visits + walking.astype(xp.int32)
+    tests = tests + xp.where(do_leaf, xp.minimum(leaf_count, max_leaf), np.int32(0))
     nxt = xp.where(hit_box, safe + 1, exit_i)
     idx = xp.where(idx >= n, n, nxt).astype(xp.int32)
-    return idx, t_best, face_best
+    return idx, t_best, face_best, tests, visits
 
 
 def _part1by2(xp, x):
@@ -207,16 +210,24 @@ def intersect_bvh_chunked(
     return t, f
 
 
-def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA, max_leaf: int = 2):
+def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA,
+                  max_leaf: int = 2, with_counts: bool = False):
     """Nearest-hit via the stackless linear BVH. Same contract as
     ``intersect_brute``. ``max_leaf`` must be a static bound ≥ the builder's
     ``max_faces`` (the reference's compile-time 2-face leaf assumption,
-    pt_bvh.cl:35-46, generalized)."""
+    pt_bvh.cl:35-46, generalized).
+
+    ``with_counts``: additionally return exact per-ray ``(tests, visits)``
+    int32 counters — ray-face intersection tests and BVH nodes visited,
+    the reference's two per-ray debug counters (pt_bvh.cl:23 increments
+    per leaf-face test, :89 per node step)."""
     n = bvh.count
     inv_d = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
     idx0 = xp.full_like(o.x, 0, dtype=xp.int32)
     t0 = xp.full_like(o.x, INF)
     f0 = xp.full_like(o.x, -1, dtype=xp.int32)
+    c0 = xp.zeros_like(idx0)
+    v0_cnt = xp.zeros_like(idx0)
 
     if _is_jax(xp):
         import jax
@@ -255,7 +266,8 @@ def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA, max_
         nf = int(tris.mtl.shape[0])
 
         def body(state):
-            idx, t_best, face_best = state
+            idx, t_best, face_best, tests, visits = state
+            walking = idx < n
             safe = xp.minimum(idx, n - 1)
             rec = nodes[safe]  # (B, 9) one coherent gather
             bb_min = Vec3(rec[..., 0], rec[..., 1], rec[..., 2])
@@ -279,20 +291,36 @@ def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA, max_
                 t_best = xp.where(better, t, t_best)
                 face_best = xp.where(better, fidx.astype(xp.int32), face_best)
 
+            if with_counts:
+                # Exact counters, gated on still-walking lanes: a node
+                # visit per step (pt_bvh.cl:89), a test per REAL leaf face
+                # (the walk executes max_leaf lockstep MT evals, but only
+                # leaf_count are demanded — pt_bvh.cl:23 semantics).
+                visits = visits + walking.astype(xp.int32)
+                tests = tests + xp.where(
+                    do_leaf, xp.minimum(leaf_count, max_leaf), np.int32(0)
+                )
+
             nxt = xp.where(hit_box, safe + 1, exit_i)
             idx = xp.where(idx >= n, n, nxt).astype(xp.int32)
-            return idx, t_best, face_best
+            return idx, t_best, face_best, tests, visits
 
         def cond(state):
             return xp.any(state[0] < n)
 
-        idx, t_best, face_best = jax.lax.while_loop(cond, body, (idx0, t0, f0))
+        idx, t_best, face_best, tests, visits = jax.lax.while_loop(
+            cond, body, (idx0, t0, f0, c0, v0_cnt)
+        )
+        if with_counts:
+            return t_best, face_best, tests, visits
         return t_best, face_best
 
-    state = (idx0, t0, f0)
+    state = (idx0, t0, f0, c0, v0_cnt)
     with np.errstate(all="ignore"):
         while np.any(state[0] < n):
             state = _bvh_step(np, o, d, inv_d, bvh, tris, max_leaf, state)
+    if with_counts:
+        return state[1], state[2], state[3], state[4]
     return state[1], state[2]
 
 

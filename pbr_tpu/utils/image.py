@@ -55,7 +55,10 @@ def read_png(path: str) -> np.ndarray:
     """
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    # Real errors, not asserts (ADVICE r4: asserts vanish under python -O
+    # and malformed input would then misparse silently).
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"read_png: {path!r} is not a PNG")
     pos = 8
     w = h = None
     idat = b""
@@ -65,16 +68,28 @@ def read_png(path: str) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert (depth, ctype) == (8, 2), "read_png: only 8-bit RGB"
+            if (depth, ctype) != (8, 2):
+                raise ValueError(
+                    f"read_png: only 8-bit RGB supported, got depth={depth} "
+                    f"color-type={ctype}"
+                )
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + ln
+    if w is None:
+        raise ValueError("read_png: missing IHDR chunk")
     raw = zlib.decompress(idat)
     stride = 1 + 3 * w
+    if len(raw) < h * stride:
+        raise ValueError("read_png: truncated IDAT payload")
     rows = []
     for i in range(h):
         line = raw[i * stride : (i + 1) * stride]
-        assert line[0] == 0, "read_png: only filter 0 (write_png's output)"
+        if line[0] != 0:
+            raise ValueError(
+                f"read_png: only filter 0 supported (write_png's output), "
+                f"row {i} uses filter {line[0]}"
+            )
         rows.append(np.frombuffer(line[1:], dtype=np.uint8).reshape(w, 3))
     return np.stack(rows)
 

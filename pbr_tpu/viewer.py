@@ -132,6 +132,7 @@ class Viewer:
         term_rows: int = 24,
         out=None,
         draft_startup: bool = False,
+        lane_order: str = "auto",
     ):
         t_ctor0 = time.perf_counter()
         from pbr_tpu.models.pathtracer import PathTracer
@@ -148,6 +149,7 @@ class Viewer:
         self._full_scene = scene
         self._full_settings = settings
         self._full_max_leaf = max_leaf
+        self._lane_order = lane_order
         self._pending = None
         draft = settings.replace(
             max_depth=min(settings.max_depth, 2),
@@ -157,7 +159,8 @@ class Viewer:
         )
         use_draft = draft_startup and draft != settings
         self.tracer = PathTracer(
-            scene, draft if use_draft else settings, max_leaf=max_leaf
+            scene, draft if use_draft else settings, max_leaf=max_leaf,
+            lane_order="scanline" if use_draft else lane_order,
         )
         self._refine_wanted = use_draft
         self._resets = 0  # progressive restarts (observable for tests);
@@ -285,7 +288,8 @@ class Viewer:
         from pbr_tpu.models.pathtracer import PathTracer
 
         full = PathTracer(
-            self._full_scene, self._full_settings, max_leaf=self._full_max_leaf
+            self._full_scene, self._full_settings,
+            max_leaf=self._full_max_leaf, lane_order=self._lane_order,
         )
         box = {}
 

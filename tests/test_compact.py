@@ -189,7 +189,10 @@ def test_auto_compact_schedule_probe(cornell):
     assert all(0 < f <= 1.0 for _, f in sched)
     assert [kb for kb, _ in sched] == sorted({kb for kb, _ in sched})
 
-    pt = PathTracer(scene, base.replace(compact_schedule="auto"), donate=False)
+    pt = PathTracer(
+        scene, base.replace(compact_schedule="auto"), donate=False,
+        lane_order="scanline",
+    )
     pt.render(cam, frame_seed=3)
     assert pt.settings.compact_schedule == sched
     # The derived caps must not drop lanes on the scene they were probed on.
