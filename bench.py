@@ -292,7 +292,9 @@ def main() -> None:
     # Row-live occupancy is seed-dependent; make sure the compaction caps
     # clear it for more than the counting seed (drops would silently bias
     # the estimator, so the caps carry headroom — see --compact default).
-    n_drop_max = int(n_drop)
+    # n_drop is None when no schedule is active (e.g. the probe found
+    # full occupancy on an interior scene and returned no caps).
+    n_drop_max = int(n_drop) if n_drop is not None else 0
     if settings.compact_schedule:
         for seed in (1, 2, 3):
             _, _, nd = count_fn(jscene, jcam, ids, jnp.uint32(seed), settings)

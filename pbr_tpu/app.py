@@ -224,15 +224,16 @@ def _write_heatmap(path: str, scene, cam, settings) -> None:
     per-ray ``uint debugCounter`` incremented per intersection test,
     pt_bvh.cl:23,89).
 
-    Two channels, each self-normalized to its own max:
+    Three channels, each self-normalized to its own max:
       R = ray-face intersection tests executed for the pixel's paths
-          (exact full-sweep counts on the brute family; row-granular
-          cull-verdict counts on the sweep/gated paths — the per-ray
-          work *upper bound*, early-out savings not subtracted),
-      G = live bounces (path length).
+          (exact per-leaf counts on the tree walks, full-sweep constants
+          on the brute family, executed verdict-gated counts on the
+          sweep/gated paths),
+      G = live bounces (path length),
+      B = BVH node visits (pt_bvh.cl:89; zero under traversal-free
+          intersectors — the sweep family visits no nodes).
     The channel totals are asserted against the scalar work counters in
-    tests/test_counters.py (sum(R) == n_tests implied by n_path; exact
-    invariant per intersector family).
+    tests/test_counters.py (equality per intersector family).
     """
     import functools
 
@@ -264,6 +265,8 @@ def _write_heatmap(path: str, scene, cam, settings) -> None:
     if res.heat_tests is not None:
         rgb[..., 0] = chan(res.heat_tests)
         rgb[..., 2] = 0.0
+    if res.heat_visits is not None:
+        rgb[..., 2] = chan(res.heat_visits)
     write_png(path, tonemap(rgb, gamma=1.0))
     Logger.info(f"[app] Wrote {path}")
 

@@ -79,6 +79,10 @@ class TraceResult(NamedTuple):
     # schedule derives caps from (models/pathtracer.py::probe_compact_schedule)
     heat_tests: object = None  # (B,) per-pixel ray-face intersection tests
     # (the reference's debug counter, pt_bvh.cl:23 -> pathtracing.cl:73-78)
+    heat_visits: object = None  # (B,) per-pixel BVH node visits (the
+    # reference's second debug counter, pt_bvh.cl:89); exact on the tree
+    # walks, all-zero under intersectors that visit no nodes (the sweep
+    # family is traversal-free by design)
 
 
 def _where(xp, m, a, b):
@@ -338,7 +342,14 @@ def trace_rays(
     n_path = xp.sum(xp.zeros_like(base)).astype(xp.int32) if with_stats else None
     n_shadow = xp.sum(xp.zeros_like(base)).astype(xp.int32) if with_stats else None
     heat = xp.zeros_like(base, dtype=xp.int32) if with_stats else None
-    heat_tests = xp.zeros_like(base, dtype=xp.int32) if with_stats else None
+    # The heat_tests slot carries a PAIR (tests, visits) through the
+    # sample/bounce/compaction plumbing — one pytree slot, two exact
+    # reference debug channels (pt_bvh.cl:23 and :89).
+    heat_tests = (
+        (xp.zeros_like(base, dtype=xp.int32), xp.zeros_like(base, dtype=xp.int32))
+        if with_stats
+        else None
+    )
 
     mats = scene.materials
     lights = scene.lights
@@ -464,9 +475,13 @@ def trace_rays(
                         t, face = out
                 pt_u = pt_v = None
             if with_stats and isect_counts is not None:
-                heat_tests = heat_tests + xp.where(
-                    alive, isect_counts, np.int32(0)
-                )
+                tst, vst = isect_counts
+                ht, hv = heat_tests
+                if tst is not None:
+                    ht = ht + xp.where(alive, tst, np.int32(0))
+                if vst is not None:
+                    hv = hv + xp.where(alive, vst, np.int32(0))
+                heat_tests = (ht, hv)
             if xp.__name__.startswith("jax") and settings.remat == "save_isect":
                 # Mark the intersect outputs as the ONLY residuals worth
                 # saving across the forward/backward boundary (see
@@ -776,7 +791,12 @@ def trace_rays(
                 stage_zero3, xp.zeros_like(stage_px, dtype=xp.int32),
                 xp.zeros_like(stage_px), n_path, n_shadow,
                 xp.zeros_like(stage_px, dtype=xp.int32) if with_stats else None,
-                xp.zeros_like(stage_px, dtype=xp.int32) if with_stats else None,
+                (
+                    xp.zeros_like(stage_px, dtype=xp.int32),
+                    xp.zeros_like(stage_px, dtype=xp.int32),
+                )
+                if with_stats
+                else None,
                 row_frac,
             )
             lo = kb
@@ -805,7 +825,10 @@ def trace_rays(
             sec_s = sec_prev + xp.where(ok_lane, tk(sec_s), np.int32(0))
             if with_stats:
                 heat_s = heat_prev + xp.where(ok_lane, tk(heat_s), np.int32(0))
-                tests_s = tests_prev + xp.where(ok_lane, tk(tests_s), np.int32(0))
+                tests_s = tuple(
+                    p + xp.where(ok_lane, tk(c), np.int32(0))
+                    for p, c in zip(tests_prev, tests_s)
+                )
         return (
             fc_s, sec_s, focus_t, n_path, n_shadow, heat_s, tests_s,
             row_frac, n_drop_total,
@@ -849,5 +872,6 @@ def trace_rays(
         heat_bounces=heat,
         n_dropped=n_drop_total,
         bounce_row_live=row_frac,
-        heat_tests=heat_tests,
+        heat_tests=heat_tests[0] if heat_tests is not None else None,
+        heat_visits=heat_tests[1] if heat_tests is not None else None,
     )

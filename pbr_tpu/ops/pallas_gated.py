@@ -302,9 +302,19 @@ def intersect_gated(
         words = _pack_words(jnp, hit)
         counts = None
         if with_counts:
-            counts = jnp.repeat(
-                jnp.sum(hit.astype(jnp.int32), axis=1), tile
-            ) * np.int32(size)
+            # EXACT executed real-face tests per lane: every lane in a
+            # tile sweeps each gated-in cluster's ``size`` faces, but only
+            # the cluster's REAL faces are intersection tests — the table
+            # is zero-padded (det 0, never valid) both inside the partial
+            # cluster and in any all-padding tail clusters. Dot the
+            # verdict mask with the per-cluster real-face counts
+            # (VERDICT r4 item 5: the old cluster-sum was a conservative
+            # bound counting padding).
+            real_per_cluster = np.clip(
+                nf - np.arange(c, dtype=np.int64) * size, 0, size
+            ).astype(np.int32)
+            per_tile = hit.astype(jnp.int32) @ jnp.asarray(real_per_cluster)
+            counts = jnp.repeat(per_tile, tile)
         call = _build_call(
             c, rows, n_tiles, any_hit, static_unroll=static,
             interpret=interpret, vma=_vma_of(ov.x),

@@ -115,7 +115,9 @@ def _bvh_step(xp, o, d, inv_d, bvh: LinearBVH, tris: TrianglesSoA, max_leaf, sta
         face_best = xp.where(better, fidx.astype(xp.int32), face_best)
 
     visits = visits + walking.astype(xp.int32)
-    tests = tests + xp.where(do_leaf, xp.minimum(leaf_count, max_leaf), np.int32(0))
+    tests = tests + xp.where(
+        walking & do_leaf, xp.minimum(leaf_count, max_leaf), np.int32(0)
+    )
     nxt = xp.where(hit_box, safe + 1, exit_i)
     idx = xp.where(idx >= n, n, nxt).astype(xp.int32)
     return idx, t_best, face_best, tests, visits
@@ -163,7 +165,7 @@ def _coherence_keys(xp, o: Vec3, d: Vec3, bvh: LinearBVH):
 
 def intersect_bvh_chunked(
     xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA,
-    max_leaf: int = 2, chunk: int = 8192,
+    max_leaf: int = 2, chunk: int = 8192, with_counts: bool = False,
 ):
     """Coherence-sorted, chunked BVH traversal (jax only).
 
@@ -196,18 +198,22 @@ def intersect_bvh_chunked(
         cox, coy, coz, cdx, cdy, cdz = args
         return intersect_bvh(
             jnp, Vec3(cox, coy, coz), Vec3(cdx, cdy, cdz), bvh, tris,
-            max_leaf=max_leaf,
+            max_leaf=max_leaf, with_counts=with_counts,
         )
 
-    t_s, f_s = jax.lax.map(
+    outs = jax.lax.map(
         chunk_fn, (take(of.x), take(of.y), take(of.z), take(df.x), take(df.y), take(df.z))
     )
-    t_s = t_s.reshape(-1)
-    f_s = f_s.reshape(-1)
     inv_perm = jnp.argsort(perm)
-    t = t_s[inv_perm][:flat].reshape(shape)
-    f = f_s[inv_perm][:flat].reshape(shape)
-    return t, f
+
+    def unsort(a):
+        return a.reshape(-1)[inv_perm][:flat].reshape(shape)
+
+    if with_counts:
+        t_s, f_s, tests, visits = outs
+        return unsort(t_s), unsort(f_s), unsort(tests), unsort(visits)
+    t_s, f_s = outs
+    return unsort(t_s), unsort(f_s)
 
 
 def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA,
@@ -292,13 +298,17 @@ def intersect_bvh(xp, o: Vec3, d: Vec3, bvh: LinearBVH, tris: TrianglesSoA,
                 face_best = xp.where(better, fidx.astype(xp.int32), face_best)
 
             if with_counts:
-                # Exact counters, gated on still-walking lanes: a node
-                # visit per step (pt_bvh.cl:89), a test per REAL leaf face
-                # (the walk executes max_leaf lockstep MT evals, but only
-                # leaf_count are demanded — pt_bvh.cl:23 semantics).
+                # Exact counters, gated on still-walking lanes (a finished
+                # lane clamps to node n-1 and must not keep counting while
+                # others walk): a node visit per step (pt_bvh.cl:89), a
+                # test per REAL leaf face (the walk executes max_leaf
+                # lockstep MT evals, but only leaf_count are demanded —
+                # pt_bvh.cl:23 semantics).
                 visits = visits + walking.astype(xp.int32)
                 tests = tests + xp.where(
-                    do_leaf, xp.minimum(leaf_count, max_leaf), np.int32(0)
+                    walking & do_leaf,
+                    xp.minimum(leaf_count, max_leaf),
+                    np.int32(0),
                 )
 
             nxt = xp.where(hit_box, safe + 1, exit_i)
@@ -367,16 +377,23 @@ def intersect_scene(
     uses it to close dead lanes out of the sweep (they cost nothing and
     cannot block a tile's occlusion early-out); other modes ignore it.
 
-    ``with_counts``: additionally return a per-ray int32 of ray-face
-    intersection tests (the reference's per-ray debug counter,
-    pt_bvh.cl:23) as the LAST tuple element. Exact per-row counts on the
-    'sweep' path; full-sweep constants (F, or 2F with fused NEE) for the
-    brute family; None where unsupported (tree walks).
+    ``with_counts``: additionally return ``(tests, visits)`` as the LAST
+    tuple element — per-ray int32 counters matching the reference's two
+    debug channels (pt_bvh.cl:23 intersection tests, :89 node visits).
+    ``tests`` is EXACT on every mode auto-dispatch selects: per-leaf
+    demanded counts on the tree walks, full-sweep constants (F, or 2F
+    with fused NEE) on the brute family, per-row executed counts on
+    'sweep', per-tile executed real-face counts on 'gated'. ``visits``
+    is exact on the tree walks and None on sweeps (no nodes exist to
+    visit). ``tests`` is None only on the explicit-opt-in packet/forest
+    kernels and 'cull' (tile-dynamic early-outs; use 'sweep'/'gated'
+    for instrumented runs at those scales).
     """
     o_s = _stop_grad3(xp, o)
     d_s = _stop_grad3(xp, d)
     occ = None
     counts = None
+    visits = None
     if mode == "auto":
         on_tpu = False
         if _is_jax(xp):
@@ -423,11 +440,17 @@ def intersect_scene(
             mode = "brute"
     if mode == "bvh":
         if _is_jax(xp) and o.x.size >= 16384:
-            _, face = intersect_bvh_chunked(
-                xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf
+            out = intersect_bvh_chunked(
+                xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf,
+                with_counts=with_counts,
             )
         else:
-            _, face = intersect_bvh(xp, o_s, d_s, scene.bvh, scene.tris, max_leaf=max_leaf)
+            out = intersect_bvh(xp, o_s, d_s, scene.bvh, scene.tris,
+                                max_leaf=max_leaf, with_counts=with_counts)
+        if with_counts:
+            _, face, counts, visits = out
+        else:
+            _, face = out
     elif mode == "pallas_bvh":
         from pbr_tpu.ops.pallas_bvh import intersect_bvh_packet
 
@@ -584,5 +607,5 @@ def intersect_scene(
     if light_pos is not None:
         out.append(occ)  # occ is None unless a fused mode produced it
     if with_counts:
-        out.append(counts)
+        out.append((counts, visits))
     return tuple(out)

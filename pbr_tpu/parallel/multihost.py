@@ -86,3 +86,84 @@ def host_local_pixel_ids(mesh, width: int, height: int, dtype=np.int32):
         return jnp.arange(start, stop, step, dtype=dtype)
 
     return jax.make_array_from_callback((npx,), pixel_id_sharding(mesh), cb)
+
+
+def shard_global_array(mesh, arr):
+    """Assemble a dp-sharded global array from a host-side value every
+    process holds: each process contributes exactly its own devices'
+    shards (``jax.make_array_from_callback`` — the layout-robust sibling
+    of ``make_array_from_process_local_data``, which assumes the process's
+    shards are one contiguous block)."""
+    import jax
+    import numpy as np
+
+    arr = np.asarray(arr)
+
+    def cb(index):
+        return arr[index]
+
+    return jax.make_array_from_callback(
+        arr.shape, pixel_id_sharding(mesh), cb
+    )
+
+
+def multihost_train_step(mesh, scene, cam, settings, target_rgb, frame_seed):
+    """One differentiable render + MSE loss + grad all-reduce over a mesh
+    that may SPAN PROCESSES — the true multi-process leg of SURVEY §2.5
+    (VERDICT r4 item 7: everything multi-device before round 5 was
+    single-process).
+
+    Identical math to ``parallel.mesh.sharded_train_step`` (same local
+    loss, same psum choreography — see the double-count note there), but
+    every global input is built multi-controller-safe: pixel ids via
+    ``host_local_pixel_ids``, targets via ``shard_global_array``, and the
+    replicated scene/cam/params enter the jit as identical host values on
+    every process (the standard multi-controller contract). Collectives
+    ride ICI within a slice and DCN across hosts; nothing else changes.
+
+    Returns ``(loss, grads)`` — both fully replicated, so every process
+    sees identical values (the parity assertion of the 2-process leg,
+    tools/multiprocess_leg.py).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from pbr_tpu.parallel.mesh import _trace_shard
+
+    npx = settings.width * settings.height
+    ids = host_local_pixel_ids(mesh, settings.width, settings.height)
+    target_rgb = np.asarray(target_rgb, dtype=np.float32)
+    tr = shard_global_array(mesh, target_rgb[:, 0])
+    tg = shard_global_array(mesh, target_rgb[:, 1])
+    tb = shard_global_array(mesh, target_rgb[:, 2])
+
+    @functools.partial(jax.jit, static_argnames=("settings",))
+    def run(scene, cam, ids, tr, tg, tb, seed, settings):
+        def shard_fn(scene, cam, ids, tr, tg, tb, seed):
+            def loss_fn(params):
+                mats, lights, camst = params
+                sc = scene._replace(materials=mats, lights=lights)
+                color, _ = _trace_shard(jnp, sc, camst, settings, ids, seed)
+                err = (
+                    (color.x - tr) ** 2 + (color.y - tg) ** 2 + (color.z - tb) ** 2
+                )
+                return jnp.sum(err) / (3.0 * npx)
+
+            params = (scene.materials, scene.lights, cam)
+            loss_local, grads = jax.value_and_grad(loss_fn, allow_int=True)(params)
+            loss = jax.lax.psum(loss_local, "dp")
+            # grads are already ('dp','sp')-psum'd by shard_map autodiff
+            # (replicated params -> replicated cotangents; mesh.py note).
+            return loss, grads
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+            out_specs=(P(), P()),
+        )(scene, cam, ids, tr, tg, tb, seed)
+
+    return run(scene, cam, ids, tr, tg, tb, jnp.uint32(frame_seed), settings)

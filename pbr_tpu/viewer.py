@@ -180,6 +180,8 @@ class Viewer:
         self.pick_mode = False
         self.focus_px = settings.width // 2
         self.focus_py = settings.height // 2
+        self.show_info = False  # 'i': live per-stage times (InfoWindow analog)
+        self.stage_ms = {}
         self.frame = 0
         self.quit = False
         # Live overlay toggles — the reference's View-menu runtime toggles
@@ -218,6 +220,14 @@ class Viewer:
         if key == "b":
             self.show_bvh = not self.show_bvh
             Logger.info(f"[viewer] BVH overlay: {int(self.show_bvh)}")
+            return
+        if key == "i":
+            # Live per-stage times — the InfoWindow analog (the reference
+            # polled per-kernel GPU ms on a timer, InfoWindow.cpp:113-121).
+            # While on, the frame step is explicitly synced so 'trace' is
+            # device time, not async-dispatch time.
+            self.show_info = not self.show_info
+            Logger.info(f"[viewer] Stage-times readout: {int(self.show_info)}")
             return
         if key == "n":
             self.show_lights = not self.show_lights
@@ -323,13 +333,20 @@ class Viewer:
     # frames are on screen before the big compile enters the queue.
     _REFINE_AFTER_FRAMES = 8
 
+    def _stage_ms(self, name: str, dt_s: float) -> None:
+        """Exponential moving average of a per-frame stage time (the live
+        counterpart of InfoWindow's per-kernel ms table)."""
+        ms = dt_s * 1e3
+        prev = self.stage_ms.get(name)
+        self.stage_ms[name] = ms if prev is None else 0.8 * prev + 0.2 * ms
+
     def render_one(self) -> None:
         if self._refine_wanted and self.frame >= self._REFINE_AFTER_FRAMES:
             self._refine_wanted = False
             self._start_refine()
         self._maybe_swap_refined()
         first = self.frame == 0
-        if first:
+        if first or self.show_info:
             t0 = time.perf_counter()
         self.tracer.render(self.camera.state(focus=self.focus), frame_seed=self.frame)
         if first:
@@ -337,17 +354,34 @@ class Viewer:
             # dispatch: the first frame IS the compile on a cold cache.
             self.tracer.image()
             self.startup["first_frame_s"] = round(time.perf_counter() - t0, 3)
+        elif self.show_info:
+            # Sync so the reading is the device frame time (the async
+            # dispatch would otherwise return in microseconds).
+            try:
+                import jax
+
+                jax.block_until_ready(self.tracer.state.rgb.x)
+            except Exception:
+                pass
+            self._stage_ms("trace", time.perf_counter() - t0)
         self.frame += 1
 
     def draw(self) -> None:
+        t0 = time.perf_counter()
         img = self.tonemapped()
+        if self.show_info:
+            self._stage_ms("fetch+tonemap", time.perf_counter() - t0)
         cells_w = min(self.term_cols, self.settings.width)
         cells_h = min(self.term_rows - 1, max(1, self.settings.height // 2))
         small = downsample(img, cells_h * 2, cells_w)
         w = self.out
+        t0 = time.perf_counter()
         w.write("\x1b[H\x1b[2J")  # home + clear
         w.write(ansi_halfblocks(small.astype(np.uint8)))
         w.write("\n" + self.status_line() + "\n")
+        if self.show_info:
+            self._stage_ms("blit", time.perf_counter() - t0)
+            w.write(self.info_line() + "\n")
         w.flush()
         if "first_draw_s" not in self.startup:
             self.startup["first_draw_s"] = round(
@@ -386,8 +420,19 @@ class Viewer:
             f"{self.settings.width}x{self.settings.height} | "
             f"eye ({e[0]:.2f}, {e[1]:.2f}, {e[2]:.2f}) | speed "
             f"{self.camera.speed:.1f} | {mode} | keys: wasdqe move, arrows "
-            f"rotate, r reset, f/g speed, l light, p/o focus, x quit"
+            f"rotate, r reset, f/g speed, l light, i times, p/o focus, x quit"
         )
+
+    def info_line(self) -> str:
+        """Live per-stage ms readout (the InfoWindow analog: the reference
+        listed each kernel's last GPU execution time on a poll timer,
+        InfoWindow.cpp:113-121). EMA-smoothed per-frame stage times;
+        'trace' is the synced device step, 'fetch+tonemap' the device->host
+        transfer + tonemap, 'blit' the terminal write."""
+        if not self.stage_ms:
+            return "stages: (first reading pending)"
+        parts = [f"{k} {v:7.2f} ms" for k, v in self.stage_ms.items()]
+        return "stages: " + " | ".join(parts)
 
     def run(
         self,

@@ -89,9 +89,20 @@ def test_gated_alive_and_counts():
     a = np.asarray(alive)
     np.testing.assert_array_equal(np.asarray(f_g)[a], np.asarray(f_b)[a])
     assert np.all(np.asarray(f_g)[~a] == -1)
+    # EXACT executed-test counts (VERDICT r4 item 5, equality not bounds):
+    # each lane sweeps its tile's gated-in clusters' real faces — 64 per
+    # cluster minus the zero-padding faces of the last cluster.
+    from pbr_tpu.ops.cull import fine_hit_mask
+
     nt = np.asarray(n_tests)
-    assert np.all(nt % 64 == 0)
-    assert np.all(nt[np.asarray(f_g) >= 0] >= 64)
+    hit = np.asarray(
+        fine_hit_mask(jnp, ov, dv, jset, 128, t_cap=None, live=alive)
+    )
+    n_clusters = hit.shape[1]
+    real_per_cluster = np.clip(300 - np.arange(n_clusters) * 64, 0, 64)
+    per_tile = hit.astype(np.int64) @ real_per_cluster
+    np.testing.assert_array_equal(nt, np.repeat(per_tile, 128))
+    assert np.all(nt[np.asarray(f_g) >= 0] >= 44)  # >= one real cluster
 
 
 def test_gated_nee_matches_separate():

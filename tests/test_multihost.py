@@ -70,3 +70,26 @@ def test_shuffled_mesh_renders_identical_image():
 def test_global_mesh_covers_all_devices():
     m = global_mesh(n_sp=2)
     assert m.shape["dp"] * m.shape["sp"] == len(jax.devices())
+
+
+def test_two_process_grad_parity():
+    """The TRUE multi-process leg (VERDICT r4 item 7): 2 OS processes x 4
+    virtual CPU devices joined by jax.distributed.initialize run one
+    multihost_train_step; loss/grads must be replicated across processes
+    and match the single-process sharded_train_step reference
+    (tools/multiprocess_leg.py writes docs/MULTIPROC_r05.json)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # The children manage their own device counts; scrub the test
+    # harness's 8-device forcing so the parent reference stays valid.
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multiprocess_leg.py")],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "PASS" in p.stdout

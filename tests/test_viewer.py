@@ -33,7 +33,15 @@ def test_scripted_loop_renders_and_accumulates():
     assert "▀" in out and "spp" in out
 
 
-def test_camera_move_restarts_accumulation():
+def test_info_toggle_shows_stage_times():
+    """'i' shows the live per-stage ms readout — the InfoWindow analog
+    (VERDICT r4 item 6; reference InfoWindow.cpp:113-121)."""
+    v = _make_viewer()
+    v.run(max_frames=4, keys="i", draw=True)
+    out = v.out.getvalue()
+    assert "stages:" in out
+    assert "trace" in out and "blit" in out
+    assert v.stage_ms["trace"] > 0
     v = _make_viewer()
     v.run(max_frames=2, keys="", draw=False)
     assert v.tracer.sample_count == 2
