@@ -184,6 +184,13 @@ def main() -> None:
         # Reference default camera (config.json camera.eye/center).
         cam = make_camera_state(eye=(0.0, 1.0, 3.0), center_dir=(0.0, 0.0, 1.0))
         scene_tag = os.path.splitext(os.path.basename(ref))[0]
+    elif args.scene == "multiroom":
+        from pbr_tpu.scene.procedural import multi_room
+
+        obj, mtl, li = multi_room()
+        scene, _ = scene_from_text(obj, mtl, li, use_bvh=True)
+        cam = make_camera_state(eye=(0.0, 1.0, 3.0), center_dir=(0.0, 0.0, 1.0))
+        scene_tag = "multiroom"
     else:
         obj, mtl, li = cornell_box()
         # TPU-first intersector choice: brute-force beats BVH traversal for a
@@ -225,11 +232,14 @@ def main() -> None:
         **({"intersector": args.intersector} if args.intersector else {}),
     )
 
-    from pbr_tpu.scene.build import bvh_max_leaf
+    from pbr_tpu.scene.build import bvh_max_leaf, derive_static_flags
 
     # Static traversal bound: big scenes build coarser BVH leaves so the
     # packet Pallas kernel's packed VMEM tables hold the whole scene.
     max_leaf = bvh_max_leaf(scene)
+    # Opaque-only scenes statically skip the refraction chain (bitwise-
+    # identical output; scene/build.py::derive_static_flags).
+    settings = derive_static_flags(scene, settings)
 
     lane_order = args.lane_order
     if lane_order == "auto":

@@ -24,7 +24,12 @@ def _load_scene(spec: str, settings, bvh_cfg=None):
     """Scene from a spec: an .obj path or a procedural name
     (cornell | triangle | soup:N)."""
     from pbr_tpu.scene.build import apply_scene_constants, scene_from_text
-    from pbr_tpu.scene.procedural import cornell_box, random_soup, single_triangle
+    from pbr_tpu.scene.procedural import (
+        cornell_box,
+        multi_room,
+        random_soup,
+        single_triangle,
+    )
     from pbr_tpu.utils.config import ACCEL_BVH
 
     use_bvh = settings.accel_struct == ACCEL_BVH
@@ -37,6 +42,9 @@ def _load_scene(spec: str, settings, bvh_cfg=None):
         obj, mtl, li = cornell_box()
     elif spec == "triangle":
         obj, mtl, li = single_triangle()
+    elif spec == "multiroom":
+        obj, mtl, li = multi_room()
+        use_bvh = True
     elif spec.startswith("soup:"):
         obj, mtl, li = random_soup(int(spec.split(":")[1])), "", ""
     else:

@@ -615,10 +615,18 @@ def trace_rays(
                 nee_ok = xp.zeros(px.shape, dtype=bool)
 
             # ---- new direction (getNewRay, pt_brdf.cl:344-378) ------------
-            r_trans = rb.u(S_TRANS)
-            do_trans = (m_d < 1.0) & (m_d <= r_trans)
-            add_depth = extend | do_trans
-            refr = refract_dir(xp, d, normal, m_ni, rb.u(S_REFR))
+            if settings.no_transparency:
+                # Static specialization: every material is opaque, so the
+                # transmit branch is identically dead — skip the Fresnel/
+                # TIR refraction chain and its two RNG draws entirely
+                # (bitwise-identical: streams are independently keyed).
+                do_trans = xp.zeros(px.shape, dtype=bool)
+                add_depth = extend
+            else:
+                r_trans = rb.u(S_TRANS)
+                do_trans = (m_d < 1.0) & (m_d <= r_trans)
+                add_depth = extend | do_trans
+                refr = refract_dir(xp, d, normal, m_ni, rb.u(S_REFR))
             ra = rb.u(S_BRDF_A)
             rbb = rb.u(S_BRDF_B)
             rc = rb.u(S_BRDF_C)
@@ -626,7 +634,11 @@ def trace_rays(
                 brdf_dir = schlick_sample(xp, d, normal, m_rough, m_p, ra, rbb, rc)
             else:
                 brdf_dir = sa_sample(xp, d, normal, m_d, m_nu, m_nv, ra, rbb, rc)
-            new_d = where3(do_trans, refr, brdf_dir)
+            new_d = (
+                brdf_dir
+                if settings.no_transparency
+                else where3(do_trans, refr, brdf_dir)
+            )
             # Detached sampling: sample *positions* carry no gradient (the
             # importance-sampling pdf in the weight does); cutting the
             # sampler chains (arccos/tan/jitter x bounces) out of the

@@ -215,6 +215,11 @@ class PathTracer:
 
         self._jax = jax
         self._jnp = jnp
+        from pbr_tpu.scene.build import derive_static_flags
+
+        # Scene-derived static specializations (opaque-only scenes skip
+        # the refraction chain — bitwise-identical, faster).
+        settings = derive_static_flags(scene, settings)
         self.settings = settings
         if max_leaf is None:
             # Derive the static traversal bound from the scene's BVH (big

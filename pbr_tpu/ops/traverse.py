@@ -401,22 +401,20 @@ def intersect_scene(
 
             on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
-            # MEASURED policy (docs/PERF.md round 4, END-TO-END fwd+bwd
-            # frames at 1024² — intersect-only rankings invert on full
-            # frames): brute's straight-line SMEM sweep wins small scenes
-            # (Cornell 220M rays/s); the gated-brute (same engine with
-            # per-tile cluster skip bits and NO unrolled-program compile
-            # ceiling, ops/pallas_gated.py) ties it at suzanne scale
-            # (7.8 vs 7.6 M rays/s at 1,082 faces) and beats the old
-            # slotted cull 2x across the mid band (soup:4000 6.4 vs 3.2;
-            # soup:10000 3.8 vs 2.6) up to its SMEM table cap; the
-            # slotted matmul cull wins above the gated SMEM cap
-            # (soup:100000 fwd+bwd: cull 1.3 vs row-sweep 0.9 M rays/s —
-            # the near-to-far slot ordering + early-out beats the
-            # row-sweep's finer verdicts at scale, BENCH_EXTRA_r04). The
-            # packet BVH kernel and the forest never win anywhere (r2:
+            # MEASURED policy — the committed evidence is the round-5
+            # band table, docs/BENCH_EXTRA_r05.json (END-TO-END fwd+bwd
+            # frames at 1024², auto AND per-mode, reference structured
+            # scenes + soups; intersect-only rankings invert on full
+            # frames, so e2e is the arbiter): brute's straight-line SMEM
+            # sweep wins small scenes (Cornell-class); the gated-brute
+            # (same engine with per-tile cluster skip bits and NO
+            # unrolled-program compile ceiling, ops/pallas_gated.py)
+            # serves the 1k-12k band; the slotted matmul cull wins above
+            # the gated SMEM cap (near-to-far slot ordering + early-out
+            # beat the row-sweep's finer verdicts at scale). The packet
+            # BVH kernel and the forest never win anywhere (r2:
             # tile-uniform cursors serialize) and remain explicit modes
-            # only.
+            # only. Per-band numbers live in the artifact, not here.
             from pbr_tpu.ops.pallas_gated import GATED_MAX_FACES
             from pbr_tpu.ops.pallas_intersect import BRUTE_SMEM_MAX_FACES
 

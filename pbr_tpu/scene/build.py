@@ -137,6 +137,22 @@ def bvh_max_leaf(scene: Scene) -> int:
     return max(2, int(np.max(np.asarray(scene.bvh.leaf_count))))
 
 
+def derive_static_flags(scene, settings: RenderSettings) -> RenderSettings:
+    """Scene-derived static jit specializations (the reference's
+    ``#PLACEHOLDER#`` bake, CL.cpp:626-705, applied at trace time):
+    currently ``no_transparency`` when every material is opaque (d == 1 —
+    the transmit branch is then statically dead; bitwise-identical
+    output, measurably less per-bounce VPU work). Never *unsets* a flag
+    the caller pinned."""
+    import numpy as np
+
+    if not settings.no_transparency:
+        d = np.asarray(scene.materials.d)
+        if d.size == 0 or bool((d >= 1.0).all()):
+            settings = settings.replace(no_transparency=True)
+    return settings
+
+
 def apply_scene_constants(settings: RenderSettings, obj: ObjData) -> RenderSettings:
     """Fix scene-derived static settings: sky color from the ``sky_light``
     material (white fallback, PathTracer.cpp:514-516) and shadow-ray

@@ -188,3 +188,80 @@ def random_soup(n: int, seed: int = 0, extent: float = 1.0) -> str:
             lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
         lines.append(f"f {3 * i + 1} {3 * i + 2} {3 * i + 3}")
     return "\n".join(lines) + "\n"
+
+def multi_room(
+    nx: int = 3, nz: int = 3, clutter: int = 10, seed: int = 0
+) -> Tuple[str, str, str]:
+    """Synthetic multi-room interior: an ``nx`` x ``nz`` grid of connected
+    rooms (thin-box walls with door gaps), floor + ceiling, and ``clutter``
+    diffuse boxes per room — the structured scene class with REAL spatial
+    separation that the reference's testing set exercises (pillars /
+    squirrels layouts) and that the round-4 culling ceiling claim was
+    never measured on (VERDICT r4 item 3). The front (camera-facing, +z)
+    side is open; one orb light sits in the front-center room.
+
+    Returns ``(obj_text, mtl_text, lights_text)``.
+    """
+    import numpy as np
+
+    room = 2.0  # room edge (x and z), wall height 2, thickness 0.06
+    th = 0.06
+    door = 0.8
+    W, D = nx * room, nz * room
+    x0, z1 = -W / 2.0, 1.0  # grid spans x0..x0+W, z1-D..z1 (front at z1)
+    z0 = z1 - D
+    r = np.random.RandomState(seed)
+
+    lines: List[str] = ["o rooms", "usemtl wall"]
+    nv = 0
+
+    def box(xa, ya, za, xb, yb, zb):
+        nonlocal nv
+        _box_vertices(lines, xa, ya, za, xb, yb, zb)
+        _box_faces(lines, nv)
+        nv += 8
+
+    # Floor and ceiling slabs.
+    box(x0, -0.1, z0, x0 + W, 0.0, z1)
+    box(x0, 2.0, z0, x0 + W, 2.1, z1)
+    # Perimeter walls (front +z side open toward the camera).
+    box(x0 - th, 0.0, z0 - th, x0 + W + th, 2.0, z0)          # back
+    box(x0 - th, 0.0, z0, x0, 2.0, z1)                        # left
+    box(x0 + W, 0.0, z0, x0 + W + th, 2.0, z1)                # right
+    # Internal walls with centered door gaps.
+    for i in range(1, nx):  # walls normal to x
+        x = x0 + i * room
+        for j in range(nz):
+            za, zb = z0 + j * room, z0 + (j + 1) * room
+            zm = (za + zb) / 2.0
+            box(x - th / 2, 0.0, za, x + th / 2, 2.0, zm - door / 2)
+            box(x - th / 2, 0.0, zm + door / 2, x + th / 2, 2.0, zb)
+    for j in range(1, nz):  # walls normal to z
+        z = z0 + j * room
+        for i in range(nx):
+            xa, xb = x0 + i * room, x0 + (i + 1) * room
+            xm = (xa + xb) / 2.0
+            box(xa, 0.0, z - th / 2, xm - door / 2, 2.0, z + th / 2)
+            box(xm + door / 2, 0.0, z - th / 2, xb, 2.0, z + th / 2)
+    # Clutter boxes per room.
+    lines.append("usemtl prop")
+    for i in range(nx):
+        for j in range(nz):
+            for _ in range(clutter):
+                cx = x0 + i * room + r.uniform(0.25, room - 0.25)
+                cz = z0 + j * room + r.uniform(0.25, room - 0.25)
+                s = r.uniform(0.08, 0.28)
+                h = r.uniform(0.15, 0.9)
+                box(cx - s, 0.0, cz - s, cx + s, h, cz + s)
+
+    mtl = (
+        "newmtl wall\nKd 0.72 0.71 0.68\nKs 1.0 1.0 1.0\nrough 1.0\np 1.0\n"
+        "nu 0\nnv 0\nRs 0.03\nRd 0.97\n"
+        "newmtl prop\nKd 0.55 0.35 0.25\nKs 1.0 1.0 1.0\nrough 1.0\np 1.0\n"
+        "nu 0\nnv 0\nRs 0.05\nRd 0.95\n"
+    )
+    li = (
+        "newlight orb\ntype 2\nrgb 1.7 1.6 1.5\n"
+        f"pos 0.0 1.75 {z1 - room / 2.0:.3f}\nradius 0.1\n"
+    )
+    return "\n".join(lines) + "\n", mtl, li

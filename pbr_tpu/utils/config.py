@@ -123,6 +123,14 @@ class RenderSettings:
     # NUM_LIGHTS / SKY_LIGHT / BVH_NUM_NODES become static here too, derived
     # from the Scene at trace time (shapes are static anyway).
     sky_light: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Scene-derived static specialization (reference #PLACEHOLDER# spirit):
+    # True = every material is opaque (d == 1), so the whole per-bounce
+    # refraction chain (refract_dir: Fresnel split, TIR, transmit dir —
+    # ~50 VPU ops/lane/bounce) and the transmit RNG draw are statically
+    # dead and skipped. Bitwise-identical output on such scenes (do_trans
+    # is identically false; streams are independently keyed). Derived
+    # automatically by PathTracer/bench from the scene's materials.
+    no_transparency: bool = False
 
     @property
     def max_total_depth(self) -> int:

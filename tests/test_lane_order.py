@@ -128,3 +128,50 @@ def test_cli_render_routes_through_probe(tmp_path, monkeypatch, capsys):
     assert "lane-order probe" in log
     assert "auto compaction schedule" in log
     assert out.exists()
+
+
+def test_no_transparency_specialization_bitwise():
+    """Opaque-only scenes auto-set no_transparency and render BITWISE
+    identically to the unspecialized program (the transmit branch is
+    statically dead; RNG streams are independently keyed so skipping the
+    transmit draws changes nothing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbr_tpu.models.integrator import trace_rays
+    from pbr_tpu.scene.build import derive_static_flags, scene_from_text
+    from pbr_tpu.scene.procedural import cornell_box
+
+    obj, mtl, li = cornell_box()
+    scene, _ = scene_from_text(obj, mtl, li, use_bvh=False)
+    cam = make_camera_state(eye=(0.0, 1.0, 3.2), center_dir=(0.0, 0.0, 1.0))
+    base = RenderSettings(
+        width=16, height=16, samples=1, max_depth=3, max_added_depth=2,
+        shadow_rays=1, anti_aliasing=0.7, sky_light=(0.85, 0.9, 1.0),
+        bounce_loop="scan", sample_loop="scan",
+    )
+    spec = derive_static_flags(scene, base)
+    assert spec.no_transparency  # all cornell materials are opaque
+
+    jscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    jcam = jax.tree_util.tree_map(jnp.asarray, cam)
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
+
+    def run(s):
+        r = jax.jit(
+            lambda sc, c, i: trace_rays(jnp, sc, c, s, i, jnp.uint32(9))
+        )(jscene, jcam, ids)
+        return np.stack([np.asarray(r.color.x), np.asarray(r.color.y),
+                         np.asarray(r.color.z)])
+
+    np.testing.assert_array_equal(run(base), run(spec))
+
+
+def test_transparent_scene_keeps_refraction_flag_off():
+    from pbr_tpu.scene.build import derive_static_flags, scene_from_text
+
+    obj = "o t\nusemtl glass\nv -1 0 -1\nv 1 0 -1\nv 0 1.5 -1\nf 1 2 3\n"
+    mtl = "newmtl glass\nd 0.0\nNi 1.5\nKd 0.9 0.9 0.9\n"
+    scene, _ = scene_from_text(obj, mtl, "", use_bvh=False)
+    s = derive_static_flags(scene, RenderSettings())
+    assert not s.no_transparency

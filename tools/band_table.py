@@ -40,6 +40,7 @@ ROWS = [
     (f"{REF}/spheres.obj",   800, [None],                                []),
     ("suzanne",             1082, [None, "pallas", "gated", "cull", "sweep"], []),
     (f"{REF}/squirrels.obj", 1408, [None, "pallas"],                     []),
+    ("multiroom",           1428, [None, "pallas"],                      []),
     ("soup:4000",           4000, [None, "cull", "sweep"],               []),
     (f"{REF}/applejack2.obj", 8180, [None, "cull"],                      []),
     ("soup:10000",         10000, [None, "cull"],                        []),

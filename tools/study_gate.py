@@ -151,15 +151,30 @@ def main():
 
     from pbr_tpu.scene.camera import make_camera_state
 
-    if scene_tag == "suzanne":
+    shadow = 1
+    if scene_tag == "suzanne" or scene_tag.endswith(".obj"):
+        import os
+
         from pbr_tpu.io.loader import load_model
 
-        scene, lset, _ = load_model(
-            "/root/reference/resources/models/testing/suzanne.obj",
-            RenderSettings(shadow_rays=1),
+        path = (
+            "/root/reference/resources/models/testing/suzanne.obj"
+            if scene_tag == "suzanne"
+            else scene_tag
         )
+        scene, lset, _ = load_model(path, RenderSettings(shadow_rays=1))
         cam = make_camera_state(eye=(0.0, 1.0, 3.0), center_dir=(0.0, 0.0, 1.0))
         sky = lset.sky_light
+        shadow = lset.shadow_rays
+        scene_tag = os.path.splitext(os.path.basename(path))[0]
+    elif scene_tag == "multiroom":
+        from pbr_tpu.scene.build import scene_from_text
+        from pbr_tpu.scene.procedural import multi_room
+
+        obj, mtl, li = multi_room()
+        scene, _ = scene_from_text(obj, mtl, li, use_bvh=True)
+        cam = make_camera_state(eye=(0.0, 1.0, 3.0), center_dir=(0.0, 0.0, 1.0))
+        sky = (0.85, 0.9, 1.0)
     else:
         from pbr_tpu.scene.build import scene_from_text
         from pbr_tpu.scene.procedural import random_soup
@@ -171,7 +186,7 @@ def main():
 
     settings = RenderSettings(
         width=size, height=size, samples=1, max_depth=3, max_added_depth=5,
-        shadow_rays=1, anti_aliasing=0.7, sky_light=sky, intersector="bvh",
+        shadow_rays=shadow, anti_aliasing=0.7, sky_light=sky, intersector="bvh",
     )
     F = scene.tris.count
     pops = record_populations(scene, cam, settings)
