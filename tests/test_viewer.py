@@ -175,7 +175,11 @@ def test_draft_then_refine_swaps_tracer():
     assert v._pending is not None  # refine kicked off after the draft burst
     v._pending[0].join(timeout=300)
     v.run(max_frames=v.frame + 2, draw=False)
-    assert v.tracer.settings == settings  # production step swapped in
+    # Production step swapped in (PathTracer additionally auto-derives the
+    # opaque-scene static flag — scene/build.py::derive_static_flags).
+    from pbr_tpu.scene.build import derive_static_flags
+
+    assert v.tracer.settings == derive_static_flags(scene, settings)
     assert v.tracer.sample_count >= 1
 
 

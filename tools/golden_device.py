@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -87,11 +88,19 @@ def main():
     print(f"[golden] device frame in {t_dev:.1f}s (incl. compile)")
 
     t0 = time.time()
-    res_cpu = trace_rays(
-        np, scene, cam, settings.replace(intersector="bvh"), ids, 7
-    )
-    cpu = np.stack([res_cpu.color.x, res_cpu.color.y, res_cpu.color.z], -1)
-    print(f"[golden] cpu oracle frame in {time.time() - t0:.1f}s")
+    # The numpy oracle frame is intersector-independent: cache it per
+    # (scene, size) so the gated and cull runs share one computation.
+    cache = f"/tmp/golden_cpu_{scene_tag.replace(':', '')}_{size}.npy"
+    if os.path.exists(cache):
+        cpu = np.load(cache)
+        print(f"[golden] cpu oracle frame from cache {cache}")
+    else:
+        res_cpu = trace_rays(
+            np, scene, cam, settings.replace(intersector="bvh"), ids, 7
+        )
+        cpu = np.stack([res_cpu.color.x, res_cpu.color.y, res_cpu.color.z], -1)
+        np.save(cache, cpu)
+        print(f"[golden] cpu oracle frame in {time.time() - t0:.1f}s")
 
     diff = np.abs(dev - cpu).max(axis=-1)
     frac_ok = float((diff <= 1e-3).mean())
