@@ -53,9 +53,12 @@ ids = jnp.arange(SIZE * SIZE, dtype=jnp.int32)
 settings = RenderSettings(
     width=SIZE, height=SIZE, samples=1, max_depth=3, max_added_depth=5,
     shadow_rays=1, anti_aliasing=0.7, sky_light=(0.85, 0.9, 1.0),
-    bounce_loop="unroll", compact_schedule=((4, 0.75), (5, 0.12)),
+    bounce_loop="unroll", compact_schedule=((4, 0.73), (5, 0.07)),
     compact_block=128,
 )
+from pbr_tpu.scene.build import derive_static_flags
+
+settings = derive_static_flags(scene, settings)  # trace the shipped program
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
