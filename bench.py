@@ -245,13 +245,12 @@ def main() -> None:
     if lane_order == "auto":
         lane_order = "scanline" if scene_tag == "cornell" else "morton"
 
-    # Probe whenever the fixed per-scene default does not describe the
-    # selected lane order: the Cornell constant was tuned on SCANLINE rows
-    # (ADVICE r4: applying it to morton-ordered lanes can silently drop
-    # live rows), so an explicit --lane-order morton re-probes too.
-    if args.compact is None and not args.no_compact and (
-        scene_tag != "cornell" or lane_order == "morton"
-    ):
+    # Probe on EVERY scene (round 5): the occupancy probe beats the fixed
+    # Cornell constant too once the opaque-scene specialization changed
+    # the extension population — measured 21.13 vs 21.41 ms/frame
+    # (docs/PERF.md round 5) — and a probe-derived schedule can never be
+    # stale against the lane order in effect (ADVICE r4).
+    if args.compact is None and not args.no_compact:
         # Non-Cornell scenes: derive the schedule from the occupancy probe
         # (probe_compact_schedule) instead of a per-scene constant — on
         # miss-heavy scenes most primary rays die at bounce 0 and the

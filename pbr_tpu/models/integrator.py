@@ -28,6 +28,7 @@ Estimator semantics faithfully match the reference, including its quirks:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -103,6 +104,55 @@ def _sanitize3(xp, v: Vec3) -> Vec3:
     return Vec3(f(v.x), f(v.y), f(v.z))
 
 
+@functools.lru_cache(maxsize=None)
+def _select_gather_vjp(m: int):
+    """custom_vjp'd select-chain material gather for M = ``m`` materials.
+
+    Forward: the measured-best broadcast select chain (fuses into the
+    shade fusion, exact table values). Backward: ONE thin matmul
+    ``cotangents (14, B) @ one-hot (B, M)`` on the MXU instead of AD's 14
+    per-material masked sum-reduce chains — the round-5 trace showed the
+    select-chain transposes among the largest backward fusions
+    (docs/PERF.md round 5). Numerics: the matmul computes the same masked
+    sums (HIGHEST precision; reduction order differs at ULP level only).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_vjp
+    def gather(fields, midx):
+        ones = jnp.ones_like(midx, dtype=jnp.float32)
+        sels = [midx == np.int32(i) for i in range(1, m)]
+        outs = []
+        for f in fields:
+            v = f[0] * ones
+            for i, sel in enumerate(sels):
+                v = jnp.where(sel, f[i + 1], v)
+            outs.append(v)
+        return tuple(outs)
+
+    def fwd(fields, midx):
+        return gather(fields, midx), midx
+
+    def bwd(midx, cts):
+        onehot = (
+            midx[:, None] == jnp.arange(m, dtype=midx.dtype)[None, :]
+        ).astype(jnp.float32)
+        C = jnp.stack(cts, axis=0)  # (14, B)
+        G = jax.lax.dot_general(
+            C, onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (14, M)
+        return (
+            tuple(G[i] for i in range(14)),
+            np.zeros(midx.shape, dtype=jax.dtypes.float0),
+        )
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def _gather_materials(xp, mats, midx):
     """Gather all per-ray material fields.
 
@@ -111,17 +161,19 @@ def _gather_materials(xp, mats, midx):
     table value verbatim), it fuses entirely into the surrounding shade
     fusion (no (B, 14) intermediate in HBM — the one-hot-matmul
     formulation's column slices alone cost ~2.4 ms/frame at 1024², see
-    docs/PERF.md), and its *transpose* in the backward pass is a masked
-    sum-reduce per material slot instead of a million-lane scatter-add.
-    Mid-size M keeps the one-hot matmul (select chains grow linearly);
-    NumPy and large-M fall back to fancy indexing.
+    docs/PERF.md), and its *backward* is a single thin MXU matmul
+    (``_select_gather_vjp``). Mid-size M keeps the one-hot matmul (select
+    chains grow linearly); NumPy and large-M fall back to fancy indexing.
     """
     fields = (
         mats.d, mats.Ni, mats.rough, mats.p, mats.nu, mats.nv, mats.Rs, mats.Rd,
         mats.kd.x, mats.kd.y, mats.kd.z, mats.ks.x, mats.ks.y, mats.ks.z,
     )
     m = int(mats.d.shape[0])
-    if xp.__name__.startswith("jax") and m <= 16:
+    use_vjp = os.environ.get("PBR_TPU_GATHER_VJP", "0") == "1"
+    if xp.__name__.startswith("jax") and m <= 16 and use_vjp:
+        vals = list(_select_gather_vjp(m)(fields, midx))
+    elif xp.__name__.startswith("jax") and m <= 16:
         ones = xp.ones_like(midx, dtype=xp.float32)
         sels = [midx == np.int32(i) for i in range(1, m)]
 
