@@ -395,6 +395,12 @@ def cmd_view(args) -> None:
     )
     if getattr(args, "startup_json", None):
         viewer.write_startup_breakdown(args.startup_json)
+    if viewer._pending is not None:
+        # A background production compile may still be in flight (scripted
+        # short runs); joining it avoids tearing down the PJRT client
+        # under an active compile thread (observed fatal at interpreter
+        # exit otherwise). Warm-cache joins land in seconds.
+        viewer._pending[0].join(timeout=300)
 
 
 def main(argv=None) -> None:
