@@ -376,6 +376,29 @@ def trace_rays(
     py = (ids // settings.width).astype(xp.float32)
     rng = rng_mod.PixelRng(frame_seed, ids.astype(xp.uint32))
 
+    # Micro-scope rematerialization of the BRDF evals and the material
+    # gather: jax.checkpoint at the FUNCTION scope stores only the
+    # callee's inputs (already live for other consumers) and recomputes
+    # its interior in the backward instead of streaming its intermediates
+    # through HBM as residuals. Unlike whole-bounce remat — measured as a
+    # big loss (docs/PERF.md r2) — the micro-scope recompute fuses into
+    # the existing backward: measured 21.14 -> 20.80 ms/frame on the
+    # Cornell fwd+bwd step (docs/PERF.md round 5). Default ON; the env
+    # vars allow A/B reproduction. Gradients are unchanged (identical ops
+    # recomputed in identical order).
+    brdf_eval_schlick = schlick_eval
+    brdf_eval_sa = sa_eval
+    gather_materials = _gather_materials
+    if xp.__name__.startswith("jax") and os.environ.get("PBR_TPU_CKPT_BRDF", "1") == "1":
+        import jax
+
+        brdf_eval_schlick = jax.checkpoint(schlick_eval, static_argnums=(0,))
+        brdf_eval_sa = jax.checkpoint(sa_eval, static_argnums=(0,))
+    if xp.__name__.startswith("jax") and os.environ.get("PBR_TPU_CKPT_GATHER", "1") == "1":
+        import jax
+
+        gather_materials = jax.checkpoint(_gather_materials, static_argnums=(0,))
+
     if prev_t is None:
         prev_t = xp.full(px.shape, INF, dtype=xp.float32)
 
@@ -597,7 +620,7 @@ def trace_rays(
             midx = tris_sg.mtl[face_safe]
             (
                 m_d, m_ni, m_rough, m_p, m_nu, m_nv, m_rs, m_rd, m_kd, m_ks
-            ) = _gather_materials(xp, mats, midx)
+            ) = gather_materials(xp, mats, midx)
             e1 = gather_vec3(tris_sg.e1, face_safe)
             e2 = gather_vec3(tris_sg.e2, face_safe)
             normal = geometric_normal(e1, e2)
@@ -711,7 +734,7 @@ def trace_rays(
             #      pathtracing.cl:92-178) ----------------------------------
             if settings.brdf == BRDF_SCHLICK:
                 if nee_enabled:
-                    brdf_l, u_l, pdf_l = schlick_eval(xp, n_sh, d, l_dir, m_rough, m_p)
+                    brdf_l, u_l, pdf_l = brdf_eval_schlick(xp, n_sh, d, l_dir, m_rough, m_p)
                     ok = nee_ok & (xp.abs(pdf_l) > F32(1e-5))
                     pdf_ls = _where(xp, ok, pdf_l, F32(1.0))
                     w_l = brdf_l * xp.maximum(n_sh.dot(l_dir), 0.0) / pdf_ls
@@ -733,7 +756,7 @@ def trace_rays(
                     final_color = final_color + _sanitize3(xp, where3(ok, contrib, zero3))
                     secondary = secondary + ok.astype(xp.int32)
 
-                brdf_b, u_b, pdf_b = schlick_eval(xp, n_sh, d, new_d, m_rough, m_p)
+                brdf_b, u_b, pdf_b = brdf_eval_schlick(xp, n_sh, d, new_d, m_rough, m_p)
                 pdf_bs = _where(xp, live & (xp.abs(pdf_b) > F32(1e-7)), pdf_b, F32(1.0))
                 w_b = brdf_b * xp.maximum(n_sh.dot(new_d), 0.0) / pdf_bs
                 mult = _sanitize3(
@@ -742,7 +765,7 @@ def trace_rays(
                 color = where3(live, color * mult, color)
             else:
                 if nee_enabled:
-                    spec_l, diff_l, hk1_l, pdf_l = sa_eval(xp, n_sh, d, l_dir, m_nu, m_nv)
+                    spec_l, diff_l, hk1_l, pdf_l = brdf_eval_sa(xp, n_sh, d, l_dir, m_nu, m_nv)
                     ok = nee_ok & (xp.abs(pdf_l) > F32(1e-5))
                     pdf_ls = _where(xp, ok, pdf_l, F32(1.0))
                     b_s = (spec_l / pdf_ls) * fresnel(hk1_l, m_rs)
@@ -769,7 +792,7 @@ def trace_rays(
                     final_color = final_color + _sanitize3(xp, where3(ok, contrib, zero3))
                     secondary = secondary + ok.astype(xp.int32)
 
-                spec_b, diff_b, hk1_b, pdf_b = sa_eval(xp, n_sh, d, new_d, m_nu, m_nv)
+                spec_b, diff_b, hk1_b, pdf_b = brdf_eval_sa(xp, n_sh, d, new_d, m_nu, m_nv)
                 pdf_bs = _where(xp, live & (xp.abs(pdf_b) > F32(1e-7)), pdf_b, F32(1.0))
                 b_s = (spec_b / pdf_bs) * fresnel(hk1_b, m_rs)
                 b_d = (diff_b * m_rd / pdf_bs) * (1.0 - m_rs)

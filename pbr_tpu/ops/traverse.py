@@ -21,6 +21,8 @@ could swap acceleration structures (ACCEL_STRUCT, Cfg ``accel_struct``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pbr_tpu.ops.intersect import INF, gather_vec3, moller_trumbore, slab_box
@@ -594,7 +596,17 @@ def intersect_scene(
     v0 = gather_vec3(tris_s.v0, safe)
     e1 = gather_vec3(tris_s.e1, safe)
     e2 = gather_vec3(tris_s.e2, safe)
-    t_re, _ = moller_trumbore(xp, o, d, v0, e1, e2)
+    mt = moller_trumbore
+    if _is_jax(xp) and os.environ.get("PBR_TPU_CKPT_REEVAL", "0") == "1":
+        # Micro-scope remat of the re-eval: measured a LOSS (21.35 vs
+        # 20.81 ms/frame, docs/PERF.md round 5) — the re-eval's 15 input
+        # arrays cost more to keep live for recompute than the handful of
+        # intermediates AD stores. Opt-in kept for reproduction; contrast
+        # with the BRDF-eval/gather scopes where the same trick WINS.
+        import jax
+
+        mt = jax.checkpoint(moller_trumbore, static_argnums=(0,))
+    t_re, _ = mt(xp, o, d, v0, e1, e2)
     t = xp.where(face >= 0, t_re, INF)
     if with_counts and counts is None and mode in ("brute", "pallas", "gemm"):
         # Full-sweep intersectors test every face; the fused NEE leg
