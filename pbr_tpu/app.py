@@ -310,19 +310,22 @@ def cmd_fit(args) -> None:
 
     target = render(jscene.materials.kd)
 
-    @jax.jit
-    def step(kd, lr):
-        def loss_fn(kd):
-            c = render(kd)
-            return (
-                jnp.sum((c.x - target.x) ** 2)
-                + jnp.sum((c.y - target.y) ** 2)
-                + jnp.sum((c.z - target.z) ** 2)
-            ) / npx
+    def loss_fn(kd):
+        c = render(kd)
+        return (
+            jnp.sum((c.x - target.x) ** 2)
+            + jnp.sum((c.y - target.y) ** 2)
+            + jnp.sum((c.z - target.z) ** 2)
+        ) / npx
 
-        val, g = jax.value_and_grad(loss_fn)(kd)
-        new = jax.tree_util.tree_map(lambda p, gg: jnp.clip(p - lr * gg, 0.0, 1.0), kd, g)
-        return val, new
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    loss_of = jax.jit(loss_fn)
+
+    @jax.jit
+    def apply(kd, g, lr):
+        return jax.tree_util.tree_map(
+            lambda p, gg: jnp.clip(p - lr * gg, 0.0, 1.0), kd, g
+        )
 
     rng = np.random.RandomState(0)
     kd0 = jscene.materials.kd
@@ -330,12 +333,25 @@ def cmd_fit(args) -> None:
         x=jnp.clip(kd0.x + jnp.asarray(rng.uniform(-0.3, 0.3, kd0.x.shape), jnp.float32), 0, 1)
     )
     l0 = None
+    lr = args.lr
     for i in range(args.steps):
-        loss, kd = step(kd, args.lr)
+        loss, g = vg(kd)
+        # Backtracking line search: per-scene gradient magnitudes vary by
+        # orders of magnitude (the sum-loss grows with resolution), and a
+        # fixed lr either crawls or saturates the albedos at the clip
+        # bounds. Halve until the step actually descends; grow gently on
+        # acceptance so the fit adapts both ways.
+        while lr > 1e-6:
+            cand = apply(kd, g, lr)
+            if float(loss_of(cand)) <= float(loss):
+                break
+            lr *= 0.5
+        kd = cand
+        lr = min(lr * 1.3, 1.0)
         if l0 is None:
             l0 = float(loss)
         if i % 10 == 0:
-            Logger.info(f"[fit] step {i}: loss {float(loss):.6f}")
+            Logger.info(f"[fit] step {i}: loss {float(loss):.6f} (lr {lr:.2e})")
     err = float(jnp.abs(kd.x - kd0.x).max())
     Logger.info(
         f"[fit] loss {l0:.6f} -> {float(loss):.6f}; max albedo error {err:.4f}"
